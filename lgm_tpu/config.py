@@ -1,0 +1,185 @@
+"""Typed configuration for the whole framework.
+
+Capability parity with the reference `Options` dataclass and its four
+tyro presets (ref: core/options.py:6-123), redesigned for JAX: the config is
+a frozen (hashable) dataclass so it can be closed over by jit'd functions or
+passed as a static argument, and the CLI is argparse-based (tyro is not a
+dependency).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Options:
+    # --- model -----------------------------------------------------------
+    # U-Net input image resolution (ref: core/options.py:9-10).
+    input_size: int = 256
+    # U-Net ladder definition (ref: core/options.py:11-16).
+    down_channels: Tuple[int, ...] = (64, 128, 256, 512, 1024, 1024)
+    down_attention: Tuple[bool, ...] = (False, False, False, True, True, True)
+    mid_attention: bool = True
+    up_channels: Tuple[int, ...] = (1024, 1024, 512, 256)
+    up_attention: Tuple[bool, ...] = (True, True, True, False)
+    # U-Net output (splatter image) resolution (ref: core/options.py:17-18).
+    splat_size: int = 64
+    # Rendered/supervised view resolution (ref: core/options.py:19-20).
+    output_size: int = 256
+
+    # --- camera / dataset ------------------------------------------------
+    fovy: float = 49.1           # degrees (ref: core/options.py:25-26)
+    znear: float = 0.5
+    zfar: float = 2.5
+    num_views: int = 12          # input + supervision views per scene
+    num_input_views: int = 4
+    cam_radius: float = 1.5      # orbit radius; scene fits [-1,1]^3
+    num_workers: int = 8
+
+    # --- training --------------------------------------------------------
+    workspace: str = "./workspace"
+    resume: Optional[str] = None
+    batch_size: int = 8          # per-replica batch
+    gradient_accumulation_steps: int = 1
+    num_epochs: int = 30
+    lambda_lpips: float = 1.0
+    gradient_clip: float = 1.0
+    mixed_precision: str = "bf16"
+    lr: float = 4e-4
+    prob_grid_distortion: float = 0.5
+    prob_cam_jitter: float = 0.5
+    # OneCycle warmup steps (ref: main.py:75-79 pct_start=3000/total).
+    warmup_steps: int = 3000
+    total_steps: int = 30_000    # schedule horizon (epochs x steps/epoch)
+
+    # --- rasterizer ------------------------------------------------------
+    # Pallas tile size in pixels (rows x cols); cols aligned to TPU lanes.
+    tile_h: int = 32
+    tile_w: int = 32
+    # Max Gaussians binned per tile (static shape cap for XLA).
+    max_gaussians_per_tile: int = 2048
+    # Rasterizer backend: "auto" | "pallas" | "xla".
+    rasterizer: str = "auto"
+
+    # --- testing / inference --------------------------------------------
+    test_path: Optional[str] = None
+    fancy_video: bool = False
+
+    # --- data ------------------------------------------------------------
+    data_mode: str = "synthetic"  # synthetic | objaverse | lvis
+    data_path: Optional[str] = None
+    data_path_rendering: Optional[str] = None
+
+    @property
+    def num_gaussians(self) -> int:
+        """Total Gaussians per scene: one per splatter-image pixel per view."""
+        return self.num_input_views * self.splat_size * self.splat_size
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+
+# Named presets matching the reference CLI subcommands
+# (ref: core/options.py:78-123).
+CONFIGS = {
+    "lrm": Options(),
+    "small": Options(
+        input_size=256, splat_size=64, output_size=256, batch_size=8,
+    ),
+    "big": Options(
+        input_size=256,
+        up_channels=(1024, 1024, 512, 256, 128),   # one more decoder block
+        up_attention=(True, True, True, False, False),
+        splat_size=128,
+        output_size=512,
+        batch_size=8,
+        num_views=8,
+    ),
+    "tiny": Options(
+        input_size=256,
+        down_channels=(32, 64, 128, 256, 512),
+        down_attention=(False, False, False, False, True),
+        up_channels=(512, 256, 128),
+        up_attention=(True, False, False),
+        splat_size=64,
+        output_size=256,
+        batch_size=16,
+        num_views=8,
+    ),
+    # Test-scale preset (not in the reference): tiny shapes for CI on CPU.
+    "nano": Options(
+        input_size=32,
+        down_channels=(32, 64),
+        down_attention=(False, True),
+        up_channels=(64, 32),
+        up_attention=(True, False),
+        splat_size=16,
+        output_size=32,
+        batch_size=2,
+        num_views=4,
+        num_input_views=2,
+        tile_h=8,
+        tile_w=32,
+        max_gaussians_per_tile=256,
+        lambda_lpips=0.0,
+        warmup_steps=10,
+        total_steps=100,
+    ),
+}
+
+
+def get_config(name: str = "lrm", **overrides) -> Options:
+    """Look up a preset by name, optionally overriding fields."""
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+    opt = CONFIGS[name]
+    return opt.replace(**overrides) if overrides else opt
+
+
+def _add_options_args(parser: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(Options):
+        name = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=None)
+        elif "Tuple" in str(f.type):
+            parser.add_argument(name, type=str, default=None,
+                                help="comma-separated list")
+        else:
+            parser.add_argument(name, type=str, default=None)
+
+
+def _coerce(f: dataclasses.Field, raw: str):
+    t = str(f.type)
+    if "Tuple[int" in t:
+        return tuple(int(x) for x in raw.split(","))
+    if "Tuple[bool" in t:
+        return tuple(x.lower() in ("1", "true", "yes") for x in raw.split(","))
+    if "int" in t:
+        return int(raw)
+    if "float" in t:
+        return float(raw)
+    if "bool" in t:
+        return bool(raw)
+    return raw
+
+
+def parse_cli(argv=None, default_config: str = "lrm") -> Options:
+    """CLI pattern matching the reference: `prog <preset> --flag value`
+    (ref: core/options.py:123, main.py:14)."""
+    parser = argparse.ArgumentParser(description="lgm_tpu")
+    parser.add_argument("config", nargs="?", default=default_config,
+                        choices=sorted(CONFIGS))
+    _add_options_args(parser)
+    ns = parser.parse_args(argv)
+    opt = CONFIGS[ns.config]
+    overrides = {}
+    for f in dataclasses.fields(Options):
+        raw = getattr(ns, f.name, None)
+        if raw is not None:
+            overrides[f.name] = raw if not isinstance(raw, str) else _coerce(f, raw)
+    return opt.replace(**overrides) if overrides else opt

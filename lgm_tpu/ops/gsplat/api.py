@@ -1,0 +1,104 @@
+"""Public rendering API: all (batch, view) pairs in one batched computation.
+
+The reference dispatches B*V sequential CUDA launches from a Python double
+loop (ref: core/gs.py:42-51) — its biggest performance sin. Here the whole
+[B, V] grid renders as a single traced computation: vmap over views/batch
+for the XLA backend, a flattened BV grid axis for the Pallas backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lgm_tpu.ops.gsplat.reference import render_reference
+
+
+def _backend_default() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def render_views(
+    gaussians: jnp.ndarray,
+    cam_view: jnp.ndarray,
+    image_size: int,
+    tan_half_fov: float,
+    bg_color: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    backend: str = "auto",
+):
+    """Render [B, V] views of per-scene Gaussians.
+
+    Args:
+      gaussians: [B, N, 14] packed activated Gaussians.
+      cam_view: [B, V, 4, 4] transposed w2c matrices (reference layout).
+      image_size: output resolution S (square).
+      tan_half_fov: tan(fovy / 2).
+      bg_color: [3] or [B, V, 3] background; defaults to white
+        (ref: core/gs.py:20).
+      scale_modifier: multiplier on Gaussian scales (ref: core/gs.py:31).
+      backend: "auto" | "pallas" | "xla".
+
+    Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]) and
+    ``alpha`` [B, V, S, S, 1] — NHWC, unlike the reference's NCHW.
+    """
+    B, V = cam_view.shape[:2]
+    if bg_color is None:
+        bg_color = jnp.ones((3,), jnp.float32)
+    bg = jnp.broadcast_to(bg_color, (B, V, 3)).astype(jnp.float32)
+
+    if backend == "auto":
+        backend = _backend_default()
+
+    if backend == "pallas":
+        from lgm_tpu.ops.gsplat.tiled import render_views_tiled
+
+        out = render_views_tiled(
+            gaussians, cam_view, image_size, tan_half_fov, bg, scale_modifier
+        )
+    else:
+        one = partial(
+            render_reference,
+            image_size=image_size,
+            tan_half_fov=tan_half_fov,
+            scale_modifier=scale_modifier,
+        )
+        # vmap over views (shared gaussians), then over batch.
+        per_scene = jax.vmap(
+            lambda g, views, bgs: jax.vmap(
+                lambda v, b: one(g, v, bg_color=b)
+            )(views, bgs)
+        )
+        out = per_scene(gaussians, cam_view, bg)
+
+    image = jnp.clip(out["image"], 0.0, 1.0)
+    alpha = out["alpha"][..., None]
+    return {"image": image, "alpha": alpha}
+
+
+def render(
+    gaussians: jnp.ndarray,
+    cam_view: jnp.ndarray,
+    image_size: int,
+    tan_half_fov: float,
+    bg_color: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    backend: str = "auto",
+):
+    """Single-view convenience wrapper: [N, 14] + [4, 4] -> [S, S, 3]."""
+    out = render_views(
+        gaussians[None],
+        cam_view[None, None],
+        image_size,
+        tan_half_fov,
+        None if bg_color is None else jnp.asarray(bg_color),
+        scale_modifier,
+        backend,
+    )
+    return {
+        "image": out["image"][0, 0],
+        "alpha": out["alpha"][0, 0, ..., 0],
+    }

@@ -1,0 +1,23 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding logic is validated on virtual CPU devices (the real
+environment has a single TPU chip); see SURVEY.md §4 for the test-strategy
+rationale (the reference ships no tests at all).
+"""
+
+import os
+
+# Force CPU for tests even when the session env points at a TPU platform:
+# tests validate numerics at f32 and sharding on 8 virtual devices. The
+# env var alone is not enough (the axon TPU plugin overrides it), so also
+# set the config flag before any jax usage.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,578 @@
+"""Tiled Pallas TPU Gaussian rasterizer with custom VJP.
+
+TPU-native redesign of the CUDA tile rasterizer the reference wraps
+(ref: core/gs.py:73-85; SURVEY.md §2b N1). The GPU original bins splats by
+duplicating them per covered 16x16 tile, globally radix-sorts (tile‖depth)
+keys, then runs one CUDA block per tile with a sequential per-Gaussian
+compositing loop. None of that maps to TPU. Here:
+
+1. **Projection + depth sort + binning run in XLA** (statically shaped):
+   one global depth `argsort` per view, per-tile intersection masks, and a
+   capped `[T, K]` index list per tile (nearest-K win on overflow). These
+   are dense vector ops XLA compiles well; their gradients come from
+   autodiff (gather -> scatter-add).
+2. **Compositing runs as a Pallas kernel**, one grid step per tile:
+   - The splat footprint `alpha = op * exp(-0.5 d^T conic d)` is evaluated
+     for a whole (pixels x Gaussians) block at once by expanding the
+     quadratic form into a pixel-feature matrix [P, 8] times a per-Gaussian
+     coefficient matrix [8, G] — an MXU matmul instead of per-pair VPU math.
+   - Front-to-back compositing needs the exclusive product of (1 - alpha)
+     along depth. Instead of a sequential loop, a Hillis-Steele shift
+     network along the 128-lane axis computes all prefix products in
+     log2(G) = 7 vector steps.
+   - Color/alpha accumulation is another MXU matmul: weights [P, G] times
+     [G, rgb‖1].
+   - The chunk loop is a grid dimension (statically indexed blocks,
+     double-buffered DMA); compute is skipped once every pixel's
+     transmittance drops below 1e-4 (same bound the CUDA kernel uses).
+3. **The backward pass is a second Pallas kernel** (custom VJP) that
+   replays chunks front-to-back, using the identity
+   suffix_i = U_total - prefix_i (with U_total recovered from the forward
+   outputs) so no back-to-front sweep or per-Gaussian state is stored.
+   Residuals are just the forward outputs — O(pixels), not O(pixels x N).
+
+Accuracy note: expanding the quadratic form trades one subtraction for an
+MXU matmul; for splats whose center is far from the tile the big-term
+cancellation costs ~1e-3 relative alpha error (typical LGM splats: <1e-4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lgm_tpu.ops.gsplat.projection import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    project_gaussians,
+)
+
+# Gaussians processed per compositing step = TPU lane width.
+G_CHUNK = 128
+# Transmittance early-out threshold (matches the CUDA kernel's 1e-4).
+T_EPS = 1e-4
+# Rows in the packed per-tile parameter matrix.
+N_ROWS = 16
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Pass 1 (XLA): binning + per-tile coefficient construction
+# ---------------------------------------------------------------------------
+
+
+def _tile_bboxes(mean2d, radius, tile_h, tile_w, tiles_y, tiles_x):
+    """Inclusive-exclusive tile ranges covered by each splat's 3σ box."""
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w), 0, tiles_x)
+    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_w) + 1, 0, tiles_x)
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h), 0, tiles_y)
+    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_h) + 1, 0, tiles_y)
+    return (x0.astype(jnp.int32), x1.astype(jnp.int32),
+            y0.astype(jnp.int32), y1.astype(jnp.int32))
+
+
+def _bin_tiles(active, bbox, tiles_y, tiles_x, max_per_tile, tile_chunk=64):
+    """Build depth-ordered per-tile index lists.
+
+    Inputs are in depth-sorted order, so "first K set bits" per tile is
+    already the nearest-K selection. Returns (idx [T, K] into the sorted
+    arrays with N as the padding value, counts [T]).
+    """
+    x0, x1, y0, y1 = bbox
+    N = active.shape[0]
+    T = tiles_y * tiles_x
+    tids = jnp.arange(T, dtype=jnp.int32)
+
+    def one_chunk(tid_chunk):
+        tx = (tid_chunk % tiles_x)[:, None]
+        ty = (tid_chunk // tiles_x)[:, None]
+        m = (
+            active[None, :]
+            & (x0[None, :] <= tx) & (tx < x1[None, :])
+            & (y0[None, :] <= ty) & (ty < y1[None, :])
+        )  # [C, N]
+        idx = jax.vmap(
+            lambda mm: jnp.nonzero(mm, size=max_per_tile, fill_value=N)[0]
+        )(m)
+        cnt = jnp.minimum(m.sum(axis=1), max_per_tile).astype(jnp.int32)
+        return idx.astype(jnp.int32), cnt
+
+    pad = (-T) % tile_chunk
+    tids_p = jnp.pad(tids, (0, pad))
+    idx, cnt = jax.lax.map(
+        one_chunk, tids_p.reshape(-1, tile_chunk)
+    )
+    return (
+        idx.reshape(-1, max_per_tile)[:T],
+        cnt.reshape(-1)[:T],
+    )
+
+
+def _build_tile_params(proj_sorted, idx, tiles_x, tile_h, tile_w):
+    """Gather per-tile splats and pack the [T, 16, K] coefficient matrix.
+
+    Row layout (consumed by the kernel; pixel features are tile-local):
+      0: -A/2   1: -C/2   2: -B          (conic a, b, c = A, B, C)
+      3: A·mx + B·my      4: C·my + B·mx
+      5: -(A·mx² + C·my²)/2 - B·mx·my    (pairs with constant-1 feature)
+      6: opacity  7: 0
+      8..10: rgb  11: 1 (alpha-accumulation column)  12..15: 0
+    """
+    mean2d, conic, color, opacity = proj_sorted
+    T, K = idx.shape
+    # Padded source arrays: index N yields all-zero -> alpha == 0 in-kernel.
+    pad1 = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+    mean_t = pad1(mean2d)[idx]      # [T, K, 2]
+    conic_t = pad1(conic)[idx]      # [T, K, 3]
+    color_t = pad1(color)[idx]      # [T, K, 3]
+    op_t = pad1(opacity)[idx]       # [T, K]
+
+    tx = (jnp.arange(T, dtype=jnp.float32) % tiles_x) * tile_w
+    ty = jnp.floor(jnp.arange(T, dtype=jnp.float32) / tiles_x) * tile_h
+    mx = mean_t[..., 0] - tx[:, None]
+    my = mean_t[..., 1] - ty[:, None]
+    A, B, C = conic_t[..., 0], conic_t[..., 1], conic_t[..., 2]
+
+    zeros = jnp.zeros_like(op_t)
+    rows = [
+        -0.5 * A,
+        -0.5 * C,
+        -B,
+        A * mx + B * my,
+        C * my + B * mx,
+        -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my),
+        op_t,
+        zeros,
+        color_t[..., 0],
+        color_t[..., 1],
+        color_t[..., 2],
+        jnp.ones_like(op_t),
+        zeros,
+        zeros,
+        zeros,
+        zeros,
+    ]
+    return jnp.stack(rows, axis=1)  # [T, 16, K]
+
+
+def _pixel_features(tile_h: int, tile_w: int) -> jnp.ndarray:
+    """[P, 8] per-pixel features in tile-local coords: identical for every
+    tile, so computed once: (x², y², xy, x, y, 1, 0, 0)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    x = xs.reshape(-1)
+    y = ys.reshape(-1)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [x * x, y * y, x * y, x, y, one, zero, zero], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _shift_lanes(x, shift: int, fill: float):
+    """Shift right along the last (lane) axis, filling vacated lanes."""
+    rolled = pltpu.roll(x, shift=shift, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < shift, fill, rolled)
+
+
+def _prefix_prod_incl(x):
+    """Inclusive prefix product along the 128-lane axis (Hillis-Steele)."""
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = x * _shift_lanes(x, s, 1.0)
+    return x
+
+
+def _prefix_sum_incl(x):
+    """Inclusive prefix sum along the 128-lane axis (Hillis-Steele)."""
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = x + _shift_lanes(x, s, 0.0)
+    return x
+
+
+def _chunk_alpha(pf, blk):
+    """Shared forward math for one [P, G] block.
+
+    Returns (alpha, one_minus_alpha, raw_alpha, power) with culling applied.
+    """
+    power = jax.lax.dot_general(
+        pf, blk[0:8],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
+    )  # [P, G]
+    op = blk[6:7, :]
+    araw = op * jnp.exp(power)
+    use = (power <= 0.0) & (araw >= ALPHA_MIN)
+    alpha = jnp.where(use, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    return alpha, 1.0 - alpha, araw, power
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(counts_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr):
+    """Grid (tiles, chunks): the chunk loop is a *grid dimension*, so every
+    parameter block is statically indexed (Mosaic chokes on dynamic
+    lane-axis slices) and Pallas double-buffers the HBM->VMEM streams.
+    Per-tile state (transmittance, accumulators) lives in scratch, which
+    persists across the sequential chunk steps."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    count = counts_ref[t]
+    P = pf_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _():
+        t_scr[:] = jnp.ones((P, 1), jnp.float32)
+        acc_scr[:] = jnp.zeros((P, 8), jnp.float32)
+
+    live = (c * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
+
+    @pl.when(live)
+    def _():
+        pf = pf_ref[:]          # [P, 8]
+        blk = params_ref[0]     # [16, G] — statically-indexed block
+        alpha, om, _, _ = _chunk_alpha(pf, blk)
+        cp = _prefix_prod_incl(om)                     # [P, G]
+        t_excl = _shift_lanes(cp, 1, 1.0)
+        w = alpha * t_excl * t_scr[:]                  # [P, G]
+        acc_scr[:] += jax.lax.dot_general(
+            w, blk[8:16],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # [P, 8]: rgb | alpha-sum | 0s
+        t_scr[:] *= cp[:, G_CHUNK - 1:G_CHUNK]
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        # Column 4 carries the final transmittance.
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+        out_ref[0] = jnp.where(col == 4, t_scr[:], acc_scr[:])
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    counts_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
+    t_scr, prefu_scr,
+):
+    """Backward replay, grid (tiles, chunks). Stops at the same chunk the
+    forward stopped at (identical transmittance recurrence), so gradients
+    of skipped splats are exactly zero."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    count = counts_ref[t]
+    P = pf_ref.shape[0]
+
+    @pl.when(c == 0)
+    def _():
+        t_scr[:] = jnp.ones((P, 1), jnp.float32)
+        prefu_scr[:] = jnp.zeros((P, 1), jnp.float32)
+
+    live = (c * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dparams_ref[0] = jnp.zeros(dparams_ref.shape[1:], dparams_ref.dtype)
+
+    @pl.when(live)
+    def _():
+        pf = pf_ref[:]
+        blk = params_ref[0]  # [16, G]
+        fo = fo_ref[0]       # [P, 8] forward outputs
+        go = go_ref[0]       # [P, 8] output cotangents
+
+        T_final = fo[:, 4:5]
+        gT = go[:, 4:5]
+        # U_total[p] = Σ_j u_j = gC·C_total + gA·A_total from the outputs.
+        U_total = jnp.sum(go[:, 0:4] * fo[:, 0:4], axis=1, keepdims=True)
+
+        T = t_scr[:]
+        prefU = prefu_scr[:]
+        alpha, om, araw, power = _chunk_alpha(pf, blk)
+        cp = _prefix_prod_incl(om)
+        t_excl = _shift_lanes(cp, 1, 1.0)
+        Ti = t_excl * T                  # exclusive transmittance at i
+        w = alpha * Ti
+
+        # s_i = gC·color_i + gA  (rows 12..15 are zero, so the gT column
+        # of `go` contracts against zeros — no masking needed).
+        s = jax.lax.dot_general(
+            go, blk[8:16],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # [P, G]
+        u = s * w
+        u_scan = _prefix_sum_incl(u)
+        prefU_i = prefU + u_scan
+
+        active = alpha > 0.0
+        om_safe = jnp.maximum(om, 1.0 - ALPHA_MAX)
+        dalpha = (
+            s * Ti
+            - (U_total - prefU_i) / om_safe
+            - gT * T_final / om_safe
+        )
+        dalpha = jnp.where(active, dalpha, 0.0)
+        unclamped = araw < ALPHA_MAX
+        dpower = dalpha * alpha * unclamped
+
+        # d/d quadratic coefficients (rows 0..5; rows 6,7 hit zero features).
+        dcoef = jax.lax.dot_general(
+            pf, dpower,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # [8, G]
+        # d/d opacity: ∂alpha/∂op = exp(power) where active & unclamped.
+        e = jnp.where(active & unclamped, jnp.exp(power), 0.0)
+        dop = jnp.sum(dalpha * e, axis=0, keepdims=True)  # [1, G]
+        # d/d color rows (row 3 = grad of the constant-ones row, discarded
+        # by construction of row 11; rows 4..7 land on zero rows).
+        dcol = jax.lax.dot_general(
+            go, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
+        )  # [8, G]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (N_ROWS, G_CHUNK), 0)
+        dblk = jnp.where(
+            row < 6,
+            jnp.concatenate([dcoef, jnp.zeros_like(dcoef)], axis=0),
+            0.0,
+        )
+        dblk = jnp.where(row == 6, jnp.broadcast_to(dop, dblk.shape), dblk)
+        dcol_sh = jnp.concatenate(
+            [jnp.zeros((8, G_CHUNK), jnp.float32), dcol], axis=0
+        )  # rows 8..15 <- dcol rows 0..7
+        dblk = jnp.where((row >= 8) & (row <= 10), dcol_sh, dblk)
+        dparams_ref[0] = dblk
+
+        prefu_scr[:] = prefU + u_scan[:, G_CHUNK - 1:G_CHUNK]
+        t_scr[:] = T * cp[:, G_CHUNK - 1:G_CHUNK]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper around the kernels
+# ---------------------------------------------------------------------------
+
+
+def _params_imap(t, c, counts):
+    """Clamp the chunk index to the last live chunk of this tile so the
+    pipeline never DMAs parameter blocks the kernel will skip (a repeated
+    block index is detected by Pallas and not re-fetched)."""
+    last = jnp.maximum(
+        jax.lax.div(counts[t] + G_CHUNK - 1, G_CHUNK) - 1, 0
+    )
+    return (t, 0, jnp.minimum(c, last))
+
+
+def _compiler_params():
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        )
+    except TypeError:  # older/newer field name fallback
+        return None
+
+
+def _run_fwd(params_tiles, counts, pf, interpret):
+    T_tiles, _, K = params_tiles.shape
+    P = pf.shape[0]
+    assert K % G_CHUNK == 0, K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles, K // G_CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, N_ROWS, G_CHUNK), _params_imap),
+            pl.BlockSpec((P, 8), lambda t, c, n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, 8), lambda t, c, n: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 8), jnp.float32),
+        ],
+    )
+    kw = {}
+    cp = _compiler_params()
+    if cp is not None:
+        kw["compiler_params"] = cp
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_tiles, P, 8), jnp.float32),
+        interpret=interpret,
+        **kw,
+    )(counts, params_tiles, pf)
+
+
+def _run_bwd(params_tiles, counts, pf, fo, go, interpret):
+    T_tiles, _, K = params_tiles.shape
+    P = pf.shape[0]
+    assert K % G_CHUNK == 0, K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles, K // G_CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, N_ROWS, G_CHUNK), _params_imap),
+            pl.BlockSpec((P, 8), lambda t, c, n: (0, 0)),
+            pl.BlockSpec((1, P, 8), lambda t, c, n: (t, 0, 0)),
+            pl.BlockSpec((1, P, 8), lambda t, c, n: (t, 0, 0)),
+        ],
+        # Every chunk owns its own output block (no clamping here).
+        out_specs=pl.BlockSpec((1, N_ROWS, G_CHUNK), lambda t, c, n: (t, 0, c)),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    kw = {}
+    cp = _compiler_params()
+    if cp is not None:
+        kw["compiler_params"] = cp
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (T_tiles, N_ROWS, K), jnp.float32
+        ),
+        interpret=interpret,
+        **kw,
+    )(counts, params_tiles, pf, fo, go)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tile_composite(params_tiles, counts, pf, interpret=False):
+    """Composite binned splats. [T, 16, K] -> [T, P, 8] (rgb|A|T|0s)."""
+    return _run_fwd(params_tiles, counts, pf, interpret)
+
+
+def _tc_fwd(params_tiles, counts, pf, interpret):
+    out = _run_fwd(params_tiles, counts, pf, interpret)
+    return out, (params_tiles, counts, pf, out)
+
+
+def _tc_bwd(interpret, res, go):
+    params_tiles, counts, pf, fo = res
+    dparams = _run_bwd(params_tiles, counts, pf, fo, go, interpret)
+    return dparams, None, None
+
+
+tile_composite.defvjp(_tc_fwd, _tc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Per-view and batched entry points
+# ---------------------------------------------------------------------------
+
+
+def render_tiled(
+    gaussians: jnp.ndarray,
+    view: jnp.ndarray,
+    image_size: int,
+    tan_half_fov: float,
+    bg_color: jnp.ndarray,
+    scale_modifier: float = 1.0,
+    tile_h: int = 32,
+    tile_w: int = 32,
+    max_per_tile: int = 1024,
+    interpret: bool = False,
+):
+    """Render one view via the tiled Pallas pipeline. Returns
+    dict(image [S, S, 3] unclamped, alpha [S, S])."""
+    S = image_size
+    assert S % tile_h == 0 and S % tile_w == 0, (S, tile_h, tile_w)
+    assert max_per_tile % G_CHUNK == 0, (
+        f"max_per_tile must be a multiple of {G_CHUNK}, got {max_per_tile}"
+    )
+    tiles_y, tiles_x = S // tile_h, S // tile_w
+
+    proj = project_gaussians(
+        gaussians, view, image_size, tan_half_fov, scale_modifier
+    )
+    active = proj.valid & (proj.radius > 0)
+    order = jnp.argsort(jnp.where(active, proj.depth, jnp.inf))
+    mean2d = proj.mean2d[order]
+    conic = proj.conic[order]
+    color = proj.color[order]
+    opacity = proj.opacity[order]
+    active_s = active[order]
+    radius_s = proj.radius[order]
+
+    bbox = _tile_bboxes(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(radius_s),
+        tile_h, tile_w, tiles_y, tiles_x,
+    )
+    idx, counts = _bin_tiles(
+        jax.lax.stop_gradient(active_s), bbox, tiles_y, tiles_x, max_per_tile
+    )
+    params_tiles = _build_tile_params(
+        (mean2d, conic, color, opacity), idx, tiles_x, tile_h, tile_w
+    )
+    pf = _pixel_features(tile_h, tile_w)
+    out = tile_composite(params_tiles, counts, pf, interpret)  # [T, P, 8]
+
+    out = out.reshape(tiles_y, tiles_x, tile_h, tile_w, 8)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(S, S, 8)
+    rgb, alpha, T = out[..., 0:3], out[..., 3], out[..., 4]
+    image = rgb + T[..., None] * bg_color[None, None, :]
+    return {"image": image, "alpha": alpha}
+
+
+def render_views_tiled(
+    gaussians: jnp.ndarray,
+    cam_view: jnp.ndarray,
+    image_size: int,
+    tan_half_fov: float,
+    bg: jnp.ndarray,
+    scale_modifier: float = 1.0,
+    tile_h: int = 32,
+    tile_w: int = 32,
+    max_per_tile: int = 1024,
+    interpret: bool = False,
+):
+    """All [B, V] views through the tiled pipeline.
+
+    Views are processed by a sequential `lax.map` (bounding the live
+    binning buffers to one view) with rematerialization, so the backward
+    pass re-runs pass 1 instead of saving [T, K] buffers for every view.
+    """
+    B, V = cam_view.shape[:2]
+    g_flat = jnp.repeat(gaussians, V, axis=0)            # [B*V, N, 14]
+    v_flat = cam_view.reshape(B * V, 4, 4)
+    bg_flat = bg.reshape(B * V, 3)
+
+    @jax.checkpoint
+    def one(args):
+        g, v, b = args
+        return render_tiled(
+            g, v, image_size, tan_half_fov, b, scale_modifier,
+            tile_h, tile_w, max_per_tile, interpret,
+        )
+
+    out = jax.lax.map(one, (g_flat, v_flat, bg_flat))
+    return {
+        "image": out["image"].reshape(B, V, image_size, image_size, 3),
+        "alpha": out["alpha"].reshape(B, V, image_size, image_size),
+    }

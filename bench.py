@@ -1,0 +1,112 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): rendered frames/s/chip at 512x512 on an
+LGM-big-scale scene (65,536 Gaussians) through the Pallas tiled rasterizer.
+``vs_baseline`` is the speedup over the pure-XLA reference compositor on
+the same chip and scene — the reference repo publishes no numbers
+(BASELINE.md), so the in-framework oracle is the measurable baseline.
+
+Timing protocol: the axon TPU tunnel adds ~30 ms per dispatch and its
+block_until_ready is asynchronous, so each measurement runs ITERS renders
+inside one jitted fori_loop and reads back a scalar (forcing the full
+round trip), subtracting the measured empty-roundtrip overhead.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_scene(n, seed=7):
+    rng = np.random.default_rng(seed)
+    g = np.zeros((n, 14), np.float32)
+    g[:, 0:3] = rng.normal(0, 0.35, (n, 3))
+    g[:, 3] = rng.uniform(0.2, 1.0, n)
+    g[:, 4:7] = rng.uniform(0.005, 0.03, (n, 3))
+    q = rng.normal(0, 1, (n, 4))
+    g[:, 7:11] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    g[:, 11:14] = rng.uniform(0, 1, (n, 3))
+    return g
+
+
+def _roundtrip_overhead(jax, jnp):
+    f = jax.jit(lambda a: a * 2.0)
+    x = jnp.ones((8, 8))
+    float(jnp.sum(f(x)))
+    ts = []
+    for _ in range(10):
+        t0 = time.time()
+        float(jnp.sum(f(x)))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def _bench_render(jax, jnp, backend, g, view, S, tan, iters, overhead):
+    from lgm_tpu.ops.gsplat.reference import render_reference
+    from lgm_tpu.ops.gsplat.tiled import render_tiled
+
+    bg = jnp.ones(3)
+    if backend == "pallas":
+        one = lambda gs: render_tiled(
+            gs, view, S, tan, bg, tile_h=32, tile_w=32, max_per_tile=1024
+        )
+    else:
+        one = lambda gs: render_reference(gs, view, S, tan, bg)
+
+    @jax.jit
+    def rep(gs):
+        def body(i, acc):
+            o = one(gs)
+            return acc + o["image"][0, 0, 0] + o["alpha"][0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(rep(g))  # compile + warm
+    t0 = time.time()
+    float(rep(g))
+    t = (time.time() - t0 - overhead) / iters
+    return max(t, 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lgm_tpu.utils import camera
+
+    S, N = 512, 65536
+    g = jnp.asarray(_build_scene(N))
+    pose = camera.orbit_camera(10.0, 30.0, 1.5)
+    cams = camera.build_camera_inputs(pose[None], 49.1, 0.5, 2.5)
+    view = jnp.asarray(cams["cam_view"][0])
+    tan = float(np.tan(0.5 * np.deg2rad(49.1)))
+
+    overhead = _roundtrip_overhead(jax, jnp)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    iters = 20 if on_tpu else 2
+
+    t_pallas = _bench_render(
+        jax, jnp, "pallas" if on_tpu else "xla", g, view, S, tan, iters,
+        overhead,
+    )
+    t_xla = _bench_render(jax, jnp, "xla", g, view, S, tan,
+                          max(iters // 4, 1), overhead)
+
+    fps = 1.0 / t_pallas
+    print(
+        json.dumps(
+            {
+                "metric": "gsplat render frames/s/chip @512x512 (65k splats, LGM-big scale)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(t_xla / t_pallas, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

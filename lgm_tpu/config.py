@@ -113,9 +113,9 @@ CONFIGS = {
     # Test-scale preset (not in the reference): tiny shapes for CI on CPU.
     "nano": Options(
         input_size=32,
-        down_channels=(32, 64),
-        down_attention=(False, True),
-        up_channels=(64, 32),
+        down_channels=(32, 64, 96),
+        down_attention=(False, False, True),
+        up_channels=(96, 64),
         up_attention=(True, False),
         splat_size=16,
         output_size=32,

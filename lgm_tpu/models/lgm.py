@@ -1,0 +1,158 @@
+"""LGM: multi-view U-Net -> per-pixel Gaussians -> differentiable render.
+
+Flax re-design of the reference model (ref: core/models.py:14-174 and the
+6-view LVIS variant core/models_lvis.py — a single class here: the view
+count is derived from the input shape instead of being hardcoded to 4/6).
+
+Data contract (NHWC; the reference is NCHW):
+  input          [B, V_in, H, W, 9]   image(3, ImageNet-normalized) + Plücker(6)
+  images_output  [B, V, S, S, 3]      supervision RGB in [0, 1]
+  masks_output   [B, V, S, S, 1]
+  cam_view       [B, V, 4, 4]         transposed w2c (reference layout)
+
+The rendering of all B x V supervision views happens in one batched
+computation (the reference loops Python-side over B*V CUDA launches,
+core/gs.py:42-51).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgm_tpu.config import Options
+from lgm_tpu.models.lpips import LPIPS
+from lgm_tpu.models.unet import UNet
+from lgm_tpu.ops.gsplat import render_views
+
+
+def activate_gaussians(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-attribute activations on raw U-Net output [..., 14]
+    (ref: core/models.py:40-44): pos clamp(-1,1) | opacity sigmoid |
+    scale 0.1*softplus | quat l2-normalize | rgb 0.5*tanh+0.5."""
+    pos = jnp.clip(x[..., 0:3], -1.0, 1.0)
+    opacity = jax.nn.sigmoid(x[..., 3:4])
+    scale = 0.1 * jax.nn.softplus(x[..., 4:7])
+    rot = x[..., 7:11]
+    rot = rot / jnp.maximum(
+        jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8
+    )
+    rgb = 0.5 * jnp.tanh(x[..., 11:14]) + 0.5
+    return jnp.concatenate([pos, opacity, scale, rot, rgb], axis=-1)
+
+
+class LGM(nn.Module):
+    """Splatter-image regressor. Callable as `model.apply(vars, images)`
+    -> activated Gaussians [B, V_in * splat^2, 14]."""
+
+    opt: Options
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        # images: [B, V_in, H, W, 9]
+        B, V, H, W, C = images.shape
+        x = images.reshape(B * V, H, W, C)
+        x = UNet(
+            out_channels=14,
+            num_views=V,
+            down_channels=self.opt.down_channels,
+            down_attention=self.opt.down_attention,
+            mid_attention=self.opt.mid_attention,
+            up_channels=self.opt.up_channels,
+            up_attention=self.opt.up_attention,
+            dtype=self.dtype,
+            name="unet",
+        )(x)
+        # Final 1x1 conv kept for reference-checkpoint parity
+        # (ref: core/models.py:34).
+        x = nn.Conv(14, (1, 1), dtype=jnp.float32, name="conv")(x)
+        s = self.opt.splat_size
+        x = x.reshape(B, V * s * s, 14)
+        return activate_gaussians(x)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """-10 log10(mse) (ref: core/models.py:170-172)."""
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def _resize_to_256(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear DOWNsample of [N, S, S, 3] to at most 256 for the LPIPS
+    input (ref: core/models.py:156-163 bounds memory this way); images
+    already <= 256 pass through untouched."""
+    n, s = x.shape[0], x.shape[1]
+    if s <= 256:
+        return x
+    return jax.image.resize(x, (n, 256, 256, 3), method="bilinear")
+
+
+class LGMWithLoss(nn.Module):
+    """Training graph: forward Gaussians, batched render, full loss stack
+    (ref: core/models.py:120-174)."""
+
+    opt: Options
+    dtype: Any = jnp.bfloat16
+    rasterizer_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        data: Dict[str, jnp.ndarray],
+        bg_color: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        opt = self.opt
+        gaussians = LGM(opt, self.dtype, name="lgm")(data["input"])
+
+        tan_half_fov = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
+        B, V = data["cam_view"].shape[:2]
+        bg = jnp.broadcast_to(bg_color, (B, V, 3))
+        rendered = render_views(
+            gaussians.astype(jnp.float32),
+            data["cam_view"],
+            opt.output_size,
+            tan_half_fov,
+            bg_color=bg,
+            backend=self.rasterizer_backend,
+        )
+        pred_images = rendered["image"]   # [B, V, S, S, 3]
+        pred_alphas = rendered["alpha"]   # [B, V, S, S, 1]
+
+        gt_images = data["images_output"]
+        gt_masks = data["masks_output"]
+        gt_images = gt_images * gt_masks + bg[:, :, None, None, :] * (
+            1.0 - gt_masks
+        )
+
+        loss_mse = jnp.mean((pred_images - gt_images) ** 2) + jnp.mean(
+            (pred_alphas - gt_masks) ** 2
+        )
+        loss = loss_mse
+
+        out = {
+            "gaussians": gaussians,
+            "images_pred": pred_images,
+            "alphas_pred": pred_alphas,
+            "loss_mse": loss_mse,
+            "psnr": psnr(jax.lax.stop_gradient(pred_images), gt_images),
+        }
+
+        if opt.lambda_lpips > 0:
+            S = opt.output_size
+            pr = _resize_to_256(pred_images.reshape(-1, S, S, 3) * 2 - 1)
+            gt = _resize_to_256(gt_images.reshape(-1, S, S, 3) * 2 - 1)
+            # LPIPS is frozen: no gradient flows into its parameters (the
+            # reference excludes them from training and checkpoints,
+            # core/models.py:46-58); achieved here via stop_gradient on
+            # the param tree at the train-step level (mask in optimizer).
+            loss_lpips = jnp.mean(LPIPS(name="lpips_loss")(gt, pr))
+            out["loss_lpips"] = loss_lpips
+            loss = loss + opt.lambda_lpips * loss_lpips
+
+        out["loss"] = loss
+        return out

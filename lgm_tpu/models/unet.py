@@ -1,0 +1,240 @@
+"""Asymmetric multi-view U-Net in Flax (NHWC, bf16 compute / f32 params).
+
+Re-design of the reference's torch U-Net (ref: core/unet.py:11-319) for TPU:
+
+- NHWC layout throughout (torch uses NCHW); convs map straight onto the MXU.
+- `MVAttention` flattens all V views' spatial tokens into one sequence so
+  self-attention spans views jointly (dense cross-view attention, ref:
+  core/unet.py:43-45). Sequence length is at most V*(S/8)^2 = 4096 tokens
+  for the LGM presets, so a single dense dot-product attention per block is
+  the right call on TPU (no flash kernel needed at this size; XLA fuses the
+  softmax chain).
+- GroupNorm runs in f32 for numerical stability under bf16 activations.
+- Structure parity with the reference (required for checkpoint conversion):
+  2 resnet layers per down block, 3 per up block, one extra first resnet in
+  the mid block, skip_scale = sqrt(0.5) on every residual join, asymmetric
+  skip channel indexing down_channels[max(-2-i, -len)]
+  (ref: core/unet.py:234-319).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _group_norm(x, name=None):
+    """GroupNorm(32, eps 1e-5) computed in f32 (ref uses nn.GroupNorm 32)."""
+    return nn.GroupNorm(
+        num_groups=32, epsilon=1e-5, dtype=jnp.float32, name=name
+    )(x)
+
+
+class MVAttention(nn.Module):
+    """Cross-view self-attention: [B*V, H, W, C] -> attention over V·H·W.
+
+    Ref: core/unet.py:11-49 (qkv without bias, out-proj with bias, 16 heads,
+    residual scaled by skip_scale).
+    """
+
+    num_views: int
+    num_heads: int = 16
+    skip_scale: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        BV, H, W, C = x.shape
+        V = self.num_views
+        B = BV // V
+        res = x
+
+        h = _group_norm(x).astype(self.dtype)
+        h = h.reshape(B, V * H * W, C)
+
+        qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = C // self.num_heads
+        q = q.reshape(B, V * H * W, self.num_heads, hd)
+        k = k.reshape(B, V * H * W, self.num_heads, hd)
+        v = v.reshape(B, V * H * W, self.num_heads, hd)
+        o = jax.nn.dot_product_attention(q, k, v)
+        o = o.reshape(B, V * H * W, C)
+        o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
+
+        o = o.reshape(BV, H, W, C)
+        return ((o + res) * self.skip_scale).astype(self.dtype)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv3 -> GN -> SiLU -> conv3 (+1x1 shortcut), scaled
+    residual join (ref: core/unet.py:51-103; resample mode unused by LGM)."""
+
+    out_channels: int
+    skip_scale: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        h = _group_norm(x, name="norm1").astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                    name="conv1")(h)
+        h = _group_norm(h, name="norm2").astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                    name="conv2")(h)
+        if res.shape[-1] != self.out_channels:
+            res = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                          name="shortcut")(res)
+        return ((h + res) * self.skip_scale).astype(self.dtype)
+
+
+class DownBlock(nn.Module):
+    """num_layers x (resnet [+ mv-attention]) then strided-conv downsample
+    (ref: core/unet.py:106-146). Returns (x, per-layer skips)."""
+
+    out_channels: int
+    num_views: int
+    num_layers: int = 2
+    downsample: bool = True
+    attention: bool = False
+    skip_scale: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for i in range(self.num_layers):
+            x = ResnetBlock(self.out_channels, self.skip_scale, self.dtype,
+                            name=f"res{i}")(x)
+            if self.attention:
+                x = MVAttention(self.num_views, 16, self.skip_scale,
+                                self.dtype, name=f"attn{i}")(x)
+            skips.append(x)
+        if self.downsample:
+            x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                        dtype=self.dtype, name="down")(x)
+            skips.append(x)
+        return x, skips
+
+
+class MidBlock(nn.Module):
+    """resnet, then num_layers x ([mv-attention +] resnet)
+    (ref: core/unet.py:149-185)."""
+
+    channels: int
+    num_views: int
+    num_layers: int = 1
+    attention: bool = True
+    skip_scale: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResnetBlock(self.channels, self.skip_scale, self.dtype,
+                        name="res0")(x)
+        for i in range(self.num_layers):
+            if self.attention:
+                x = MVAttention(self.num_views, 16, self.skip_scale,
+                                self.dtype, name=f"attn{i}")(x)
+            x = ResnetBlock(self.channels, self.skip_scale, self.dtype,
+                            name=f"res{i + 1}")(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    """num_layers x (concat skip + resnet [+ mv-attention]) then nearest-2x
+    upsample + conv (ref: core/unet.py:188-231)."""
+
+    out_channels: int
+    num_views: int
+    num_layers: int = 3
+    upsample: bool = True
+    attention: bool = False
+    skip_scale: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skips: Sequence[jnp.ndarray]):
+        skips = list(skips)
+        for i in range(self.num_layers):
+            skip = skips.pop()  # consumed deepest-first
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ResnetBlock(self.out_channels, self.skip_scale, self.dtype,
+                            name=f"res{i}")(x)
+            if self.attention:
+                x = MVAttention(self.num_views, 16, self.skip_scale,
+                                self.dtype, name=f"attn{i}")(x)
+        if self.upsample:
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                        name="up")(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Asymmetric encoder/decoder U-Net over [B*V, H, W, Cin]
+    (ref: core/unet.py:234-319)."""
+
+    out_channels: int
+    num_views: int
+    down_channels: Tuple[int, ...] = (64, 128, 256, 512, 1024, 1024)
+    down_attention: Tuple[bool, ...] = (False, False, False, True, True, True)
+    mid_attention: bool = True
+    up_channels: Tuple[int, ...] = (1024, 1024, 512, 256)
+    up_attention: Tuple[bool, ...] = (True, True, True, False)
+    layers_per_block: int = 2
+    skip_scale: float = float(np.sqrt(0.5))
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.down_channels[0], (3, 3), dtype=self.dtype,
+                    name="conv_in")(x)
+
+        xss = [x]
+        for i, ch in enumerate(self.down_channels):
+            x, skips = DownBlock(
+                ch, self.num_views,
+                num_layers=self.layers_per_block,
+                downsample=(i != len(self.down_channels) - 1),
+                attention=self.down_attention[i],
+                skip_scale=self.skip_scale,
+                dtype=self.dtype,
+                name=f"down{i}",
+            )(x)
+            xss.extend(skips)
+
+        x = MidBlock(
+            self.down_channels[-1], self.num_views,
+            attention=self.mid_attention, skip_scale=self.skip_scale,
+            dtype=self.dtype, name="mid",
+        )(x)
+
+        for i, ch in enumerate(self.up_channels):
+            n_skips = self.layers_per_block + 1
+            skips = xss[-n_skips:]
+            xss = xss[:-n_skips]
+            x = UpBlock(
+                ch, self.num_views,
+                num_layers=n_skips,
+                upsample=(i != len(self.up_channels) - 1),
+                attention=self.up_attention[i],
+                skip_scale=self.skip_scale,
+                dtype=self.dtype,
+                name=f"up{i}",
+            )(x, skips)
+
+        x = _group_norm(x, name="norm_out").astype(self.dtype)
+        x = nn.silu(x)
+        x = nn.Conv(self.out_channels, (3, 3), dtype=jnp.float32,
+                    name="conv_out")(x.astype(jnp.float32))
+        return x

@@ -1,0 +1,260 @@
+"""Inference CLI: image(s) -> Gaussians -> .ply + 360° orbit video.
+
+Re-design of the reference inference path (ref: infer.py:26-157):
+
+  input image -> [diffusion front-end: 4 consistent views] -> LGM forward
+  -> splatter Gaussians -> save PLY -> orbit video.
+
+Two input modes:
+- ``--mv-images a.png b.png c.png d.png``: four ready multi-view images
+  (az 0/90/180/270), bypassing the diffusion front-end.
+- ``--image x.png``: single image; runs the MVDream/ImageDream front-end
+  (lgm_tpu.diffusion) to synthesize the 4 views. Requires converted
+  diffusion weights (--diffusion-ckpt); this environment has no network
+  egress to fetch the published ones.
+
+Background removal uses rembg when importable (ref: infer.py:13,78);
+otherwise RGBA alpha or white background is assumed.
+
+The 180-frame orbit render runs as batched render_views calls (chunked),
+not 180 sequential launches (ref: infer.py:132-145 loops per frame).
+
+Run: python -m lgm_tpu.infer big --resume ckpt --mv-images f0.png f1.png f2.png f3.png --workspace out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from lgm_tpu.config import CONFIGS, Options
+from lgm_tpu.data.synthetic import IMAGENET_MEAN, IMAGENET_STD
+from lgm_tpu.io.ply import save_ply
+from lgm_tpu.utils import camera
+
+
+def _load_rgba(path: str, size: int) -> np.ndarray:
+    """[size, size, 3] float RGB on white bg (+ recenter if alpha given)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert img is not None, f"cannot read {path}"
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        # BGRA -> RGB over white (ref: provider composite semantics).
+        rgb = img[..., [2, 1, 0]]
+        a = img[..., 3:4]
+        img = rgb * a + (1 - a)
+    else:
+        img = img[..., [2, 1, 0]]
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    return img
+
+
+def remove_background(path: str) -> Optional[np.ndarray]:
+    """rembg background removal when available (off the TPU hot path)."""
+    try:
+        import rembg  # noqa
+    except ImportError:
+        return None
+    import cv2
+
+    session = rembg.new_session()
+    img = cv2.imread(path)
+    out = rembg.remove(img, session=session)  # BGRA
+    return out.astype(np.float32) / 255.0
+
+
+def build_input(mv_images: np.ndarray, opt: Options) -> np.ndarray:
+    """[4, H, W, 3] RGB -> [1, 4, H, W, 9] network input with canonical
+    orbit-view Plücker rays (ref: core/models.py:61-85, infer.py:94-99)."""
+    imgs = (mv_images - IMAGENET_MEAN) / IMAGENET_STD
+    emb, _ = camera.default_plucker_embedding(opt)
+    return np.concatenate([imgs, emb], axis=-1)[None].astype(np.float32)
+
+
+def orbit_video_cameras(opt: Options, n_frames: int, elevation: float = 0.0):
+    poses = np.stack(
+        [
+            camera.orbit_camera(elevation, az, opt.cam_radius)
+            for az in np.linspace(0, 360, n_frames, endpoint=False)
+        ]
+    )
+    return camera.build_camera_inputs(poses, opt.fovy, opt.znear, opt.zfar)
+
+
+def render_orbit_video(
+    gaussians,
+    opt: Options,
+    out_path: str,
+    n_frames: int = 180,
+    fps: int = 30,
+    chunk: int = 30,
+    fancy: bool = False,
+):
+    """Render a 360° orbit and write an mp4. All frames go through the
+    batched renderer in chunks (the reference issues one CUDA launch per
+    frame, infer.py:132-145). ``fancy`` ramps the Gaussian scale modifier
+    from 0 to 1 over the first quarter (ref: infer.py:113-130)."""
+    import jax.numpy as jnp
+
+    from lgm_tpu.ops.gsplat import render_views
+
+    tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
+    cams = orbit_video_cameras(opt, n_frames)
+    frames = []
+    g = jnp.asarray(gaussians)[None]
+    for s in range(0, n_frames, chunk):
+        sl = slice(s, min(s + chunk, n_frames))
+        views = jnp.asarray(cams["cam_view"][sl])[None]
+        if fancy:
+            # One render call per modifier value within the ramp.
+            imgs = []
+            for i in range(sl.start, sl.stop):
+                sm = min(1.0, 4.0 * i / n_frames) if fancy else 1.0
+                o = render_views(
+                    g, jnp.asarray(cams["cam_view"][i][None, None]),
+                    opt.output_size, tan, scale_modifier=sm,
+                )
+                imgs.append(np.asarray(o["image"][0, 0]))
+            frames.extend(imgs)
+        else:
+            out = render_views(g, views, opt.output_size, tan)
+            frames.extend(np.asarray(out["image"][0]))
+    video = (np.stack(frames) * 255).astype(np.uint8)
+    _write_video(out_path, video, fps)
+    return video
+
+
+def _write_video(out_path: str, video: np.ndarray, fps: int):
+    """mp4 via OpenCV (no ffmpeg binary in this environment); GIF via
+    imageio for .gif paths."""
+    if out_path.endswith(".gif"):
+        import imageio
+
+        imageio.mimwrite(out_path, video, fps=fps)
+        return
+    import cv2
+
+    h, w = video.shape[1:3]
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    assert writer.isOpened(), f"cannot open video writer for {out_path}"
+    for frame in video:
+        writer.write(frame[..., ::-1])  # RGB -> BGR
+    writer.release()
+
+
+def load_model_params(opt: Options, resume: Optional[str]):
+    import jax
+    import jax.numpy as jnp
+
+    from lgm_tpu.models.lgm import LGM
+
+    model = LGM(opt)
+    sample = jnp.zeros(
+        (1, 4, opt.input_size, opt.input_size, 9), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), sample)
+    params = variables["params"]
+    if resume:
+        if resume.endswith(".safetensors"):
+            from lgm_tpu.tools.convert_weights import load_reference_lgm
+
+            params = load_reference_lgm(resume, params, opt)
+        else:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(resume)
+            )
+            src = restored.get("params", restored)
+            if "lgm" in src:
+                src = src["lgm"]
+            params = src
+    return model, {"params": params}
+
+
+def process(opt: Options, mv_images: np.ndarray, out_stem: str,
+            resume: Optional[str] = None):
+    """mv_images [4, H, W, 3] in [0, 1] -> writes .ply and .mp4."""
+    import jax.numpy as jnp
+
+    model, variables = load_model_params(opt, resume)
+    inp = jnp.asarray(build_input(mv_images, opt))
+    gaussians = np.asarray(model.apply(variables, inp))[0]  # [N, 14]
+
+    ply_path = out_stem + ".ply"
+    save_ply(gaussians, ply_path)
+    mp4_path = out_stem + ".mp4"
+    render_orbit_video(gaussians, opt, mp4_path, fancy=opt.fancy_video)
+    print(f"wrote {ply_path} and {mp4_path}")
+    return gaussians
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="lgm_tpu inference")
+    parser.add_argument("config", nargs="?", default="big",
+                        choices=sorted(CONFIGS))
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--workspace", type=str, default="./workspace")
+    parser.add_argument("--image", type=str, default=None,
+                        help="single input image (runs diffusion front-end)")
+    parser.add_argument("--mv-images", nargs=4, default=None,
+                        help="four multi-view images at az 0/90/180/270")
+    parser.add_argument("--diffusion-ckpt", type=str, default=None)
+    parser.add_argument("--elevation", type=float, default=0.0)
+    parser.add_argument("--fancy-video", action="store_true")
+    ns = parser.parse_args(argv)
+
+    opt = CONFIGS[ns.config]
+    if ns.fancy_video:
+        opt = opt.replace(fancy_video=True)
+    os.makedirs(ns.workspace, exist_ok=True)
+
+    if ns.mv_images:
+        mv = np.stack(
+            [_load_rgba(p, opt.input_size) for p in ns.mv_images]
+        )
+        stem = os.path.join(
+            ns.workspace,
+            os.path.splitext(os.path.basename(ns.mv_images[0]))[0],
+        )
+    else:
+        assert ns.image, "need --image or --mv-images"
+        from lgm_tpu.diffusion import MVDreamPipeline
+
+        rgba = remove_background(ns.image)
+        if rgba is None:
+            img = _load_rgba(ns.image, 256)
+        else:
+            rgb = rgba[..., [2, 1, 0]]
+            a = rgba[..., 3:4]
+            img = rgb * a + (1 - a)
+        pipe = MVDreamPipeline.from_pretrained(ns.diffusion_ckpt)
+        mv = pipe(
+            image=img, prompt="", elevation=ns.elevation,
+            num_inference_steps=30, guidance_scale=5.0,
+        )
+        # Reference view reorder for LGM consumption (ref: infer.py:92).
+        mv = mv[[1, 2, 3, 0]]
+        import cv2
+
+        mv = np.stack(
+            [cv2.resize(m, (opt.input_size, opt.input_size)) for m in mv]
+        )
+        stem = os.path.join(
+            ns.workspace, os.path.splitext(os.path.basename(ns.image))[0]
+        )
+
+    process(opt, mv, stem, resume=ns.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,7 @@ class MVAttention(nn.Module):
         B = BV // V
         res = x
 
-        h = _group_norm(x).astype(self.dtype)
+        h = _group_norm(x, name="norm").astype(self.dtype)
         h = h.reshape(B, V * H * W, C)
 
         qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype, name="qkv")(h)

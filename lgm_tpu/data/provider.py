@@ -1,0 +1,313 @@
+"""Disk data providers for Objaverse-style and LVIS-style renderings.
+
+Host-side numpy pipeline (NHWC) with semantics parity:
+
+- ``ObjaverseDataset`` (ref: core/provider_objaverse.py:20-172): per-object
+  directories ``<uid>/rgb/NNN.png`` (RGBA) + ``<uid>/pose/NNN.txt``
+  (16 whitespace-separated c2w floats, blender world + opencv cam);
+  training picks input views from the 36..72 azimuth ring and random
+  supervision views, unreadable views are skipped and padded by repetition.
+- ``LVISDataset`` (ref: core/provider_lvis.py:23-218): split directories
+  (test split ``40000-49999`` excluded) of scene dirs with ``NNN.png`` +
+  ``NNN.npy`` ({elevation, azimuth, radius}); fixed input views 1..6,
+  pose built as orbit_camera(-elevation, azimuth, radius).
+
+Both share `build_sample`: canonicalize pose 0 to the fixed front position,
+white-bg composite, grid-distortion + camera-jitter augmentation on
+non-first input views, ImageNet normalization, Plücker ray concat, and the
+rasterizer camera dict. A thread-prefetching `Loader` replaces the torch
+DataLoader worker pool.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from lgm_tpu.config import Options
+from lgm_tpu.data.synthetic import IMAGENET_MEAN, IMAGENET_STD
+from lgm_tpu.utils import camera
+from lgm_tpu.utils.augment import grid_distortion, orbit_camera_jitter
+
+
+def _resize(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize [V, H, W, C] -> [V, size, size, C]."""
+    import cv2
+
+    if imgs.shape[1] == size:
+        return imgs
+    return np.stack(
+        [cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+         .reshape(size, size, -1) for im in imgs]
+    )
+
+
+def build_sample(images: np.ndarray, masks: np.ndarray,
+                 cam_poses: np.ndarray, opt: Options, training: bool,
+                 rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """images [V, H, W, 3] white-bg RGB in [0,1], masks [V, H, W],
+    cam_poses [V, 4, 4] OpenGL c2w -> provider contract dict."""
+    V_in = opt.num_input_views
+    cam_poses = np.asarray(
+        camera.canonicalize_poses(cam_poses, opt.cam_radius)
+    )
+
+    images_input = _resize(images[:V_in], opt.input_size)
+    poses_input = cam_poses[:V_in].copy()
+
+    if training:
+        if rng.random() < opt.prob_grid_distortion:
+            images_input[1:] = grid_distortion(images_input[1:], rng=rng)
+        if rng.random() < opt.prob_cam_jitter:
+            poses_input[1:] = orbit_camera_jitter(poses_input[1:], rng=rng)
+
+    images_input = (images_input - IMAGENET_MEAN) / IMAGENET_STD
+    plucker = np.stack(
+        [
+            camera.plucker_rays(p, opt.input_size, opt.input_size, opt.fovy)
+            for p in poses_input
+        ]
+    ).astype(np.float32)
+    final_input = np.concatenate([images_input, plucker], axis=-1)
+
+    cams = camera.build_camera_inputs(cam_poses, opt.fovy, opt.znear,
+                                      opt.zfar)
+    return {
+        "input": final_input.astype(np.float32),
+        "images_output": _resize(images, opt.output_size).astype(np.float32),
+        "masks_output": _resize(masks[..., None], opt.output_size)
+        .astype(np.float32),
+        "cam_view": np.asarray(cams["cam_view"], np.float32),
+        "cam_view_proj": np.asarray(cams["cam_view_proj"], np.float32),
+        "cam_pos": np.asarray(cams["cam_pos"], np.float32),
+    }
+
+
+def _composite_rgba(img: np.ndarray):
+    """BGRA uint8-decoded float [H, W, 4] -> (white-bg RGB, mask)."""
+    mask = img[..., 3]
+    rgb = img[..., [2, 1, 0]] * mask[..., None] + (1 - mask[..., None])
+    return rgb, mask
+
+
+class ObjaverseDataset:
+    """rgb/NNN.png + pose/NNN.txt per object (ref provider #7)."""
+
+    def __init__(self, opt: Options, training: bool = True,
+                 items: Optional[List[str]] = None):
+        self.opt = opt
+        self.training = training
+        if items is None:
+            assert opt.data_path, "set --data-path to the objaverse root"
+            items = sorted(
+                p for p in glob.glob(os.path.join(opt.data_path, "*"))
+                if os.path.isdir(p)
+            )
+        # naive split (ref: provider_objaverse.py:39-43)
+        if training:
+            self.items = items[: -opt.batch_size]
+        else:
+            self.items = items[-opt.batch_size:]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        opt = self.opt
+        uid = self.items[idx]
+        rng = np.random.default_rng(
+            None if self.training else (7, idx)
+        )
+        if self.training:
+            vids = (
+                list(rng.permutation(np.arange(36, 73))
+                     [: opt.num_input_views])
+                + list(rng.permutation(100))
+            )
+        else:
+            vids = list(np.arange(36, 73, 4)) + list(np.arange(100))
+
+        images, masks, poses = [], [], []
+        for vid in vids:
+            ipath = os.path.join(uid, "rgb", f"{vid:03d}.png")
+            cpath = os.path.join(uid, "pose", f"{vid:03d}.txt")
+            try:
+                raw = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
+                img = raw.astype(np.float32) / 255.0
+                with open(cpath) as f:
+                    c2w = np.array(
+                        [float(t) for t in f.read().strip().split()],
+                        np.float32,
+                    ).reshape(4, 4)
+            except Exception:
+                continue
+            # blender world + opencv cam -> opengl world & cam
+            # (ref: provider_objaverse.py:94-97)
+            c2w[1] *= -1
+            c2w[[1, 2]] = c2w[[2, 1]]
+            c2w[:3, 1:3] *= -1
+            c2w[:3, 3] *= opt.cam_radius / 1.5
+            rgb, mask = _composite_rgba(img)
+            images.append(rgb)
+            masks.append(mask)
+            poses.append(c2w)
+            if len(images) == opt.num_views:
+                break
+
+        if not images:
+            raise RuntimeError(f"no readable views in {uid}")
+        while len(images) < opt.num_views:  # pad by repetition
+            images.append(images[-1])
+            masks.append(masks[-1])
+            poses.append(poses[-1])
+
+        return build_sample(
+            np.stack(images), np.stack(masks), np.stack(poses),
+            opt, self.training, rng,
+        )
+
+
+class LVISDataset:
+    """NNN.png + NNN.npy per scene under split dirs (ref provider #8)."""
+
+    TEST_SPLITS = ("40000-49999",)
+
+    def __init__(self, opt: Options, training: bool = True,
+                 scene_dirs: Optional[List[str]] = None):
+        self.opt = opt
+        self.training = training
+        if scene_dirs is None:
+            root = opt.data_path_rendering or opt.data_path
+            assert root, "set --data-path-rendering to the LVIS root"
+            splits = [
+                s for s in sorted(os.listdir(root))
+                if s not in self.TEST_SPLITS
+                and os.path.isdir(os.path.join(root, s))
+            ]
+            scene_dirs = []
+            for s in splits:
+                scene_dirs.extend(
+                    sorted(
+                        p for p in glob.glob(os.path.join(root, s, "*"))
+                        if os.path.isdir(p)
+                    )
+                )
+        if training:
+            self.items = scene_dirs[: -opt.batch_size]
+        else:
+            self.items = scene_dirs[-opt.batch_size:]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        opt = self.opt
+        uid = self.items[idx]
+        rng = np.random.default_rng(
+            None if self.training else (13, idx)
+        )
+        files = sorted(glob.glob(os.path.join(uid, "*.png")))
+        max_vid = max(
+            int("".join(c for c in os.path.splitext(
+                os.path.basename(f))[0] if c.isdigit()))
+            for f in files
+        )
+        fixed = list(range(1, 1 + opt.num_input_views))
+        if self.training:
+            vids = fixed + list(rng.permutation(max_vid + 1))
+        else:
+            vids = fixed + list(np.arange(max_vid + 1))
+
+        images, masks, poses = [], [], []
+        for vid in vids:
+            ipath = os.path.join(uid, f"{vid:03d}.png")
+            cpath = os.path.join(uid, f"{vid:03d}.npy")
+            try:
+                img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
+                img = img.astype(np.float32) / 255.0
+                cam = np.load(cpath, allow_pickle=True).item()
+            except Exception:
+                continue
+            # Note the elevation sign flip (ref: provider_lvis.py:134).
+            c2w = camera.orbit_camera(
+                -cam["elevation"], cam["azimuth"], radius=cam["radius"]
+            )
+            c2w[:3, 3] *= opt.cam_radius / 1.5
+            rgb, mask = _composite_rgba(img)
+            images.append(rgb)
+            masks.append(mask)
+            poses.append(c2w)
+            if len(images) == opt.num_views:
+                break
+
+        if not images:
+            raise RuntimeError(f"no readable views in {uid}")
+        while len(images) < opt.num_views:
+            images.append(images[-1])
+            masks.append(masks[-1])
+            poses.append(poses[-1])
+
+        return build_sample(
+            np.stack(images), np.stack(masks), np.stack(poses),
+            opt, self.training, rng,
+        )
+
+
+class Loader:
+    """Batched loader with background-thread prefetch (replaces the
+    reference's torch DataLoader worker pool, ref: main.py:52-70)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds) // self.bs
+        if not self.drop_last and len(self.ds) % self.bs:
+            n += 1
+        return n
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        return idx
+
+    def epoch(self, epoch: int = 0):
+        """Yield stacked batch dicts for one epoch."""
+        idx = self._epoch_indices(epoch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        n_batches = len(self)
+
+        def worker():
+            for b in range(n_batches):
+                sel = idx[b * self.bs:(b + 1) * self.bs]
+                samples = [self.ds[int(i)] for i in sel]
+                batch = {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]
+                }
+                q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch

@@ -138,16 +138,51 @@ def load_checkpoint(path: str, state: TrainState) -> TrainState:
         return state.replace(params=new_params)
 
 
-def main(argv=None):
-    from lgm_tpu.data.synthetic import SyntheticDataset
+def make_datasets(opt: Options):
+    """Dataset selection by data_mode: synthetic (self-contained) or the
+    objaverse/lvis disk formats (ref providers #7/#8)."""
+    if opt.data_mode == "synthetic":
+        from lgm_tpu.data.synthetic import SyntheticDataset
 
+        return (SyntheticDataset(opt, training=True),
+                SyntheticDataset(opt, training=False, length=4))
+    from lgm_tpu.data.provider import Loader, LVISDataset, ObjaverseDataset
+
+    cls = {"objaverse": ObjaverseDataset, "lvis": LVISDataset}[opt.data_mode]
+    train_ds = cls(opt, training=True)
+    test_ds = cls(opt, training=False)
+
+    class _Adapter:
+        """Expose the disk loaders through the synthetic batch(step) API."""
+
+        def __init__(self, ds, training):
+            self.loader = Loader(ds, opt.batch_size, shuffle=training)
+            self._iter = None
+            self._epoch = 0
+
+        def __len__(self):
+            return max(len(self.loader), 1)
+
+        def batch(self, step):
+            if self._iter is None:
+                self._iter = self.loader.epoch(self._epoch)
+            try:
+                return next(self._iter)
+            except StopIteration:
+                self._epoch += 1
+                self._iter = self.loader.epoch(self._epoch)
+                return next(self._iter)
+
+    return _Adapter(train_ds, True), _Adapter(test_ds, False)
+
+
+def main(argv=None):
     opt = parse_cli(argv)
     os.makedirs(opt.workspace, exist_ok=True)
     mesh = make_mesh()
     print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
 
-    train_ds = SyntheticDataset(opt, training=True)
-    test_ds = SyntheticDataset(opt, training=False, length=4)
+    train_ds, test_ds = make_datasets(opt)
 
     rng = jax.random.PRNGKey(42)
     sample = {

@@ -1,0 +1,19 @@
+# Training / inference recipes (ref: scripts/examples.sh, finetune_lgm.sh).
+# Single host (all local chips become the dp axis automatically):
+python -m lgm_tpu.train big --workspace workspace_big --data-mode lvis \
+    --data-path-rendering /data/lvis
+# Debug-scale run on synthetic data:
+python -m lgm_tpu.train small --workspace workspace_debug --total-steps 2000
+# LVIS finetune recipe (ref: scripts/finetune_lgm.sh: fovy 60, output 320,
+# 6 input views):
+python -m lgm_tpu.train big --workspace workspace_ft --data-mode lvis \
+    --data-path-rendering /data/lvis --fovy 60 --num-input-views 6 \
+    --resume workspace_big/ckpt_30000
+# Inference from four prepared views:
+python -m lgm_tpu.infer big --resume workspace_big/ckpt_30000 \
+    --mv-images v0.png v1.png v2.png v3.png --workspace out
+# Mesh export:
+python -m lgm_tpu.convert big --test-path out/v0.ply
+# Multi-host: run the same train command on every host after setting
+# JAX distributed env (jax.distributed.initialize is called when
+# LGM_TPU_MULTIHOST=1).

@@ -1,0 +1,185 @@
+"""Native mesh ops, hash-grid encoder, ray marcher, triangle rasterizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lgm_tpu.utils import camera
+
+FOVY = 49.1
+
+
+def sphere_grid(n=48, r=0.6):
+    x = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    return 10.0 * (r - np.sqrt(X**2 + Y**2 + Z**2))
+
+
+def test_marching_tetrahedra_sphere():
+    from lgm_tpu.native import marching_cubes
+
+    n = 48
+    v, f = marching_cubes(sphere_grid(n).astype(np.float32), 0.0)
+    assert len(v) > 100 and len(f) > 100
+    c, r_grid = (n - 1) / 2, 0.6 / (2 / (n - 1))
+    rad = np.linalg.norm(v - c, axis=1)
+    np.testing.assert_allclose(rad.mean(), r_grid, rtol=0.01)
+    assert rad.std() < 0.05 * r_grid
+    # Watertight: every edge shared by exactly two faces.
+    edges = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+    )
+    _, cnt = np.unique(edges, axis=0, return_counts=True)
+    assert (cnt == 2).all()
+
+
+def test_decimate_and_clean():
+    from lgm_tpu.native import clean, decimate_to_target, marching_cubes
+
+    v, f = marching_cubes(sphere_grid().astype(np.float32), 0.0)
+    v2, f2 = decimate_to_target(v, f, 1000)
+    assert len(f2) <= 1500
+    assert len(f2) > 100
+    # All face indices valid, no degenerates.
+    assert f2.max() < len(v2) and f2.min() >= 0
+    assert (f2[:, 0] != f2[:, 1]).all()
+    v3, f3 = clean(np.concatenate([v, v + 1e-7]),
+                   np.concatenate([f, f + len(v)]))
+    assert len(v3) <= len(v) + 8  # near-duplicates welded
+
+
+def test_hashgrid_encoder():
+    from lgm_tpu.ops.hashgrid import HashGridEncoder
+
+    enc = HashGridEncoder(num_levels=4, features=2, log2_table_size=12,
+                          base_resolution=4, max_resolution=32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (64, 3)),
+                    jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (64, 8)
+    # Continuity: nearby points -> nearby encodings.
+    y2 = enc.apply(params, x + 1e-4)
+    assert float(jnp.abs(y - y2).max()) < 1e-2
+    # Gradients flow to the tables.
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+    assert float(jnp.abs(g["params"]["table"]).max()) > 0
+    assert np.isfinite(float(enc.tv_loss(params["params"])))
+
+
+def test_raymarch_sphere():
+    from lgm_tpu.ops.raymarch import OccupancyGrid, render_rays
+
+    grid = OccupancyGrid.dense(32, aabb=1.0)
+
+    def field(pts, dirs):
+        d = jnp.linalg.norm(pts, axis=-1)
+        sigma = jnp.where(d < 0.5, 50.0, 0.0)
+        rgb = jnp.broadcast_to(jnp.asarray([1.0, 0.2, 0.1]),
+                               pts.shape)
+        return sigma, rgb
+
+    pose = camera.orbit_camera(0.0, 0.0, 1.5)
+    rays_o, rays_d = camera.get_rays(pose, 16, 16, FOVY)
+    out = render_rays(
+        jnp.asarray(rays_o.reshape(-1, 3)),
+        jnp.asarray(rays_d.reshape(-1, 3)),
+        field, grid, num_samples=96,
+    )
+    alpha = np.asarray(out["alpha"]).reshape(16, 16)
+    depth = np.asarray(out["depth"]).reshape(16, 16)
+    # Center ray hits the r=0.5 sphere from distance 1.5 -> depth ~1.0.
+    assert alpha[8, 8] > 0.99
+    np.testing.assert_allclose(depth[8, 8], 1.0, atol=0.05)
+    assert alpha[0, 0] < 1e-3  # corner misses
+    # occupancy update culls empty space.
+    g2 = grid.update(lambda p: field(p, p)[0], chunk=1024)
+    occ = np.asarray(g2.occ)
+    assert occ[16, 16, 16] and not occ[0, 0, 0]
+
+
+def _quad_mesh():
+    """Two triangles forming the z=0 square [-0.5, 0.5]^2."""
+    verts = np.array(
+        [[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+def test_trirast_coverage_and_depth():
+    from lgm_tpu.ops.trirast import project_vertices, rasterize
+
+    verts, faces = _quad_mesh()
+    pose = camera.orbit_camera(0.0, 0.0, 1.5)
+    cams = camera.build_camera_inputs(pose[None], FOVY, 0.5, 2.5)
+    vp = jnp.asarray(cams["cam_view_proj"][0])
+    S = 64
+    clip = project_vertices(jnp.asarray(verts), vp)
+    rast = rasterize(clip, jnp.asarray(faces), S, tile=32,
+                     max_faces_per_tile=128)
+    fid = np.asarray(rast["face_id"])
+    # Center covered, corners background.
+    assert fid[S // 2, S // 2] >= 0
+    assert fid[0, 0] == -1 and fid[-1, -1] == -1
+    # Coverage fraction ~ (projected quad area).
+    focal = S / (2 * np.tan(np.deg2rad(FOVY) / 2))
+    expect = (focal / 1.5) ** 2 / S**2  # 1x1 quad at depth 1.5
+    got = (fid >= 0).mean()
+    np.testing.assert_allclose(got, expect, rtol=0.1)
+
+
+def test_trirast_occlusion():
+    from lgm_tpu.ops.trirast import project_vertices, rasterize
+
+    # Near quad (z=0.5 toward camera at z=1.5) must occlude far (z=-0.5).
+    v1, f1 = _quad_mesh()
+    v1 = v1 + np.array([0, 0, 0.5], np.float32)
+    v2, f2 = _quad_mesh()
+    v2 = v2 - np.array([0, 0, 0.5], np.float32)
+    verts = np.concatenate([v2, v1])
+    faces = np.concatenate([f2, f1 + 4])
+    pose = camera.orbit_camera(0.0, 0.0, 1.5)
+    cams = camera.build_camera_inputs(pose[None], FOVY, 0.5, 2.5)
+    clip = project_vertices(jnp.asarray(verts),
+                            jnp.asarray(cams["cam_view_proj"][0]))
+    rast = rasterize(clip, jnp.asarray(faces), 32, tile=32,
+                     max_faces_per_tile=128)
+    fid = np.asarray(rast["face_id"])
+    center = fid[16, 16]
+    assert center >= 2, f"near quad faces (2,3) should win, got {center}"
+
+
+def test_trirast_interpolate_gradients():
+    from lgm_tpu.ops.trirast import render_mesh
+
+    verts, faces = _quad_mesh()
+    pose = camera.orbit_camera(10.0, 20.0, 1.5)
+    cams = camera.build_camera_inputs(pose[None], FOVY, 0.5, 2.5)
+    vp = jnp.asarray(cams["cam_view_proj"][0])
+    attrs = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (4, 3)).astype(np.float32)
+    )
+    tgt = jnp.zeros((32, 32, 3))
+
+    def loss(v, a):
+        out, mask = render_mesh(v, jnp.asarray(faces), a, vp, 32,
+                                max_faces_per_tile=128)
+        return jnp.mean((out - tgt) ** 2)
+
+    gv, ga = jax.grad(loss, argnums=(0, 1))(jnp.asarray(verts), attrs)
+    assert np.isfinite(np.asarray(gv)).all()
+    assert np.abs(np.asarray(ga)).max() > 0
+    assert np.abs(np.asarray(gv)).max() > 0
+
+
+def test_texture_bilinear():
+    from lgm_tpu.ops.trirast import texture
+
+    tex = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    # Sample exactly at texel centers.
+    uv = jnp.asarray([[(0.5 + 1) / 4, (0.5 + 2) / 4]])  # texel (x=1, y=2)
+    val = texture(tex, uv)
+    np.testing.assert_allclose(float(val[0, 0]), 9.0, atol=1e-5)

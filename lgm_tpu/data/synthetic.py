@@ -101,7 +101,7 @@ def make_batch(
     # Ground-truth renders: supervision views at output_size on white bg.
     out = render_views(
         jnp.asarray(scenes), jnp.asarray(cams["cam_view"]),
-        opt.output_size, tan, backend="xla",
+        opt.output_size, tan, backend="auto",
     )
     images_output = np.asarray(out["image"], np.float32)
     masks_output = np.clip(np.asarray(out["alpha"], np.float32), 0.0, 1.0)
@@ -113,7 +113,7 @@ def make_batch(
         inp = render_views(
             jnp.asarray(scenes),
             jnp.asarray(cams["cam_view"][:, : opt.num_input_views]),
-            opt.input_size, tan, backend="xla",
+            opt.input_size, tan, backend="auto",
         )
         images_in = np.asarray(inp["image"], np.float32)
 

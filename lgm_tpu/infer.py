@@ -161,7 +161,7 @@ def load_model_params(opt: Options, resume: Optional[str]):
     sample = jnp.zeros(
         (1, 4, opt.input_size, opt.input_size, 9), jnp.float32
     )
-    variables = model.init(jax.random.PRNGKey(0), sample)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
     params = variables["params"]
     if resume:
         if resume.endswith(".safetensors"):

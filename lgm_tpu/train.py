@@ -62,7 +62,9 @@ def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
                  backend: str = "auto") -> Tuple[TrainState, LGMWithLoss]:
     model = LGMWithLoss(opt, rasterizer_backend=backend)
     bg = jnp.ones(3)
-    variables = model.init(rng, sample_data, bg)
+    # jit the init: eager flax init dispatches op-by-op (minutes through
+    # the remote-TPU tunnel); compiled it runs in seconds.
+    variables = jax.jit(model.init)(rng, sample_data, bg)
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -2,19 +2,21 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.json): rendered frames/s/chip at 512x512 on an
-LGM-big-scale scene (65,536 Gaussians) through the Pallas tiled rasterizer.
-``vs_baseline`` is the speedup over the pure-XLA reference compositor on
-the same chip and scene — the reference repo publishes no numbers
-(BASELINE.md), so the in-framework oracle is the measurable baseline.
+LGM-big-scale scene (65,536 Gaussians) through the flat-sort Pallas
+rasterizer. ``vs_baseline`` is the speedup over the pure-XLA reference
+compositor on the same chip and scene — the reference repo publishes no
+numbers (BASELINE.md), so the in-framework oracle is the measurable
+baseline.
 
 Timing protocol: the axon TPU tunnel adds ~30 ms per dispatch and its
-block_until_ready is asynchronous, so each measurement runs ITERS renders
-inside one jitted fori_loop and reads back a scalar (forcing the full
-round trip), subtracting the measured empty-roundtrip overhead.
+block_until_ready is asynchronous, AND XLA hoists loop-invariant bodies
+out of fori_loops — so each measurement chains the loop state through the
+renderer input (data dependence defeats hoisting), runs ITERS iterations
+inside one jit, reads back a scalar, and subtracts the measured empty
+round trip.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -44,37 +46,29 @@ def _roundtrip_overhead(jax, jnp):
     return min(ts)
 
 
-def _bench_render(jax, jnp, backend, g, view, S, tan, iters, overhead):
-    from lgm_tpu.ops.gsplat.reference import render_reference
-    from lgm_tpu.ops.gsplat.tiled import render_tiled
-
-    bg = jnp.ones(3)
-    if backend == "pallas":
-        one = lambda gs: render_tiled(
-            gs, view, S, tan, bg, tile_h=32, tile_w=32, max_per_tile=1024
-        )
-    else:
-        one = lambda gs: render_reference(gs, view, S, tan, bg)
-
+def _bench_chained(jax, jnp, render_fn, g, iters, overhead):
     @jax.jit
     def rep(gs):
-        def body(i, acc):
-            o = one(gs)
-            return acc + o["image"][0, 0, 0] + o["alpha"][0, 0]
+        def body(i, carry):
+            gs, acc = carry
+            o = render_fn(gs)
+            s = jnp.sum(o["image"][0]) + jnp.sum(o["alpha"][0])
+            return (gs + 1e-20 * s, acc + s)
 
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        return jax.lax.fori_loop(0, iters, body, (gs, 0.0))[1]
 
     float(rep(g))  # compile + warm
     t0 = time.time()
     float(rep(g))
-    t = (time.time() - t0 - overhead) / iters
-    return max(t, 1e-9)
+    return max((time.time() - t0 - overhead) / iters, 1e-9)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from lgm_tpu.ops.gsplat.flatsort import render_flatsort
+    from lgm_tpu.ops.gsplat.reference import render_reference
     from lgm_tpu.utils import camera
 
     S, N = 512, 65536
@@ -83,26 +77,31 @@ def main():
     cams = camera.build_camera_inputs(pose[None], 49.1, 0.5, 2.5)
     view = jnp.asarray(cams["cam_view"][0])
     tan = float(np.tan(0.5 * np.deg2rad(49.1)))
+    bg = jnp.ones(3)
 
     overhead = _roundtrip_overhead(jax, jnp)
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    iters = 20 if on_tpu else 2
+    iters = 10 if on_tpu else 2
 
-    t_pallas = _bench_render(
-        jax, jnp, "pallas" if on_tpu else "xla", g, view, S, tan, iters,
-        overhead,
+    if on_tpu:
+        fast = lambda gs: render_flatsort(gs, view, S, tan, bg,
+                                          tile_h=32, tile_w=32, dup=16)
+    else:
+        fast = lambda gs: render_reference(gs, view, S, tan, bg)
+    t_fast = _bench_chained(jax, jnp, fast, g, iters, overhead)
+    t_xla = _bench_chained(
+        jax, jnp, lambda gs: render_reference(gs, view, S, tan, bg), g,
+        max(iters // 5, 1), overhead,
     )
-    t_xla = _bench_render(jax, jnp, "xla", g, view, S, tan,
-                          max(iters // 4, 1), overhead)
 
-    fps = 1.0 / t_pallas
     print(
         json.dumps(
             {
-                "metric": "gsplat render frames/s/chip @512x512 (65k splats, LGM-big scale)",
-                "value": round(fps, 2),
+                "metric": "gsplat render frames/s/chip @512x512 "
+                          "(65k splats, LGM-big scale)",
+                "value": round(1.0 / t_fast, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(t_xla / t_pallas, 3),
+                "vs_baseline": round(t_xla / t_fast, 3),
             }
         )
     )

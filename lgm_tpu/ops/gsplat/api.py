@@ -54,6 +54,12 @@ def render_views(
         backend = _backend_default()
 
     if backend == "pallas":
+        from lgm_tpu.ops.gsplat.flatsort import render_views_flatsort
+
+        out = render_views_flatsort(
+            gaussians, cam_view, image_size, tan_half_fov, bg, scale_modifier
+        )
+    elif backend == "pallas_v1":
         from lgm_tpu.ops.gsplat.tiled import render_views_tiled
 
         out = render_views_tiled(

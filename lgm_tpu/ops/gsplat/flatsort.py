@@ -7,28 +7,31 @@ the forward). This v2 follows the GPU rasterizer's *logical* structure —
 duplicate per covered tile, sort once, contiguous per-tile ranges
 (ref: the CUDA backend of core/gs.py; SURVEY.md §2b N1) — but implemented
 with only XLA-friendly primitives: elementwise math, two argsorts,
-cumsum, searchsorted, and gathers. There is no scatter anywhere, in
-forward *or* backward:
+cumsum, searchsorted, gathers, and one flat scatter-add in the backward:
 
 1. Each Gaussian emits up to D duplicate entries, one per covered tile
    (slot d -> tile (x0 + d mod w, y0 + d div w)); entries get the key
-   tile_id * N + depth_rank, so one argsort groups them by tile in
-   depth order.
-2. Per-tile ranges come from searchsorted; each range is padded to a
-   multiple of the 128-lane chunk (empty tiles keep one chunk) and laid
-   out contiguously. The padded slot -> sorted entry map is *computed by
-   gather* (searchsorted over the offset table), not scattered.
-3. Per-entry attributes come from ONE gather; its custom VJP routes the
-   cotangent back through the inverse permutation — also a gather —
-   then a dense [N, D] slot-sum.
+   tile_id * N + depth_rank, so one variadic sort groups them by tile in
+   depth order (lax.sort on (key, iota) — sorted keys + permutation in
+   one pass, no post-sort gather).
+2. Per-tile ranges come from searchsorted; each range is capped at
+   max_per_tile nearest entries and padded to a multiple of the 128-lane
+   chunk (empty tiles keep one chunk), laid out contiguously. The padded
+   slot -> sorted entry map is *computed by gather* (searchsorted over
+   the offset table), not scattered.
+3. Per-entry attributes come from ONE gather; its custom VJP is one flat
+   [PAD, C] -> [N, C] scatter-add over the slot->gaussian map (a 262k-row
+   scatter-add measures ~6.5 ms on a v5e vs ~20 ms for the
+   inverse-permutation gather + dense slot-sum it replaces).
 4. The compositing kernel runs a flat chunk grid; scalar-prefetched
    chunk->tile metadata drives the output block index map, so a tile's
    chunks stream through while its accumulators live in scratch.
 
 Compared to v1 this removes the O(T*N) binning mask and the backward
-scatters; capacity is O(N*D + T*G) with D = max covered tiles per splat
-(overflowing splats keep their first D tiles in row-major bbox order).
-"""
+per-tile scatters; capacity is O(min(N*D, T*max_per_tile)) with D = max
+covered tiles per splat (overflowing splats keep their first D tiles in
+row-major bbox order; tiles beyond max_per_tile keep the nearest ones,
+which front-to-back saturation makes invisible)."""
 
 from __future__ import annotations
 
@@ -59,7 +62,6 @@ class FlatBins(NamedTuple):
     """Static-shape flat binning layout (all int32)."""
 
     flat_gauss: jnp.ndarray   # [PAD] gaussian id per padded slot (N = pad)
-    entry_padpos: jnp.ndarray  # [N*D] padded slot per entry (PAD = dead)
     slot_tile: jnp.ndarray    # [PAD] tile id per padded slot
     chunk_tile: jnp.ndarray   # [CAP]
     chunk_local: jnp.ndarray  # [CAP] chunk index within its tile
@@ -68,12 +70,21 @@ class FlatBins(NamedTuple):
 
 
 def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
-                  tile_w: int, dup: int) -> FlatBins:
+                  tile_w: int, dup: int,
+                  max_per_tile: int = 1024) -> FlatBins:
     N = proj.mean2d.shape[0]
     D = dup
     T = tiles_y * tiles_x
     G = G_CHUNK
-    CAP = (N * D) // G + T
+    # Static chunk capacity: the worst case is bounded both globally
+    # (every splat emits D entries) and per tile (entries beyond
+    # max_per_tile are dropped — they are depth-sorted, so this keeps the
+    # nearest M; with front-to-back saturation at T_EPS anything past a
+    # few hundred overlaps is invisible). The per-tile cap is what keeps
+    # the compositing grid small: without it every view pays the global
+    # worst case in grid steps + DMA even when most chunks are dead.
+    MPT = max(G, (max_per_tile // G) * G)
+    CAP = min((N * D) // G + T, T * (MPT // G))
     PAD = CAP * G
 
     active = proj.valid & (proj.radius > 0)
@@ -96,17 +107,17 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
         slot_ok, tile_id * N + rank[:, None], INVALID
     ).reshape(-1)  # [N*D] int32 (requires T*N < 2^31)
 
-    sidx = jnp.argsort(key)
-    skeys = key[sidx]
+    # One variadic sort yields both the sorted keys and the permutation;
+    # `argsort` + `key[sidx]` would pay an extra 1M-element random gather
+    # (~7 ms/view on a v5e, slower than the sort itself).
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    skeys, sidx = jax.lax.sort((key, iota), num_keys=1)
     tgrid = jnp.arange(T + 1, dtype=jnp.int32) * N
     bounds = jnp.searchsorted(skeys, tgrid).astype(jnp.int32)  # [T+1]
     starts, ends = bounds[:-1], bounds[1:]
-    counts = ends - starts
+    counts = jnp.minimum(ends - starts, MPT)
 
     pcount = ((jnp.maximum(counts, 1) + G - 1) // G) * G
-    pofs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(pcount).astype(jnp.int32)]
-    )  # [T+1]
 
     # All slot-level index math happens at CHUNK granularity (CAP entries,
     # 128x fewer) and is broadcast across lanes — a PAD-sized searchsorted
@@ -137,17 +148,7 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
         chunk_tile[:, None], (CAP, G)
     ).reshape(-1)
 
-    # Inverse map: entry -> padded slot (used only by the backward; DCE'd
-    # from forward-only graphs). padpos = pofs[t] + (sorted_pos -
-    # starts[t]) = shift[t] + sorted_pos with one tiny-table gather.
-    inv_sidx = jnp.argsort(sidx).astype(jnp.int32)
-    shift = pofs[:-1] - starts  # [T]
-    e_tile = jnp.where(key < INVALID, key // N, 0)
-    entry_padpos = jnp.where(
-        key < INVALID, shift[e_tile] + inv_sidx, PAD
-    ).astype(jnp.int32)
-
-    return FlatBins(flat_gauss, entry_padpos, slot_tile, chunk_tile,
+    return FlatBins(flat_gauss, slot_tile, chunk_tile,
                     chunk_local, chunk_last, counts)
 
 
@@ -156,28 +157,24 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_entries(attrs_pad, flat_gauss, entry_padpos, dup):
-    """attrs_pad [N+1, C] -> per-slot attrs [PAD, C]. Backward routes the
-    cotangent through entry_padpos (a gather) + dense slot-sum: no
-    scatter."""
+@jax.custom_vjp
+def _gather_entries(attrs_pad, flat_gauss):
+    """attrs_pad [N+1, C] -> per-slot attrs [PAD, C]. Backward is one flat
+    scatter-add back onto the gaussians (dead slots carry index N, the
+    zero pad row, and are dropped there)."""
     return attrs_pad[flat_gauss]
 
 
-def _ge_fwd(attrs_pad, flat_gauss, entry_padpos, dup):
-    return attrs_pad[flat_gauss], entry_padpos
+def _ge_fwd(attrs_pad, flat_gauss):
+    return attrs_pad[flat_gauss], (attrs_pad.shape[0], flat_gauss)
 
 
-def _ge_bwd(dup, entry_padpos, g):
-    c = g.shape[1]
-    n = entry_padpos.shape[0] // dup
-    g_pad = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
-    per_entry = g_pad[entry_padpos]            # [N*D, C]
-    dattrs = per_entry.reshape(n, dup, c).sum(axis=1)
-    dattrs = jnp.concatenate(
-        [dattrs, jnp.zeros_like(dattrs[:1])], axis=0
+def _ge_bwd(res, g):
+    n_pad, flat_gauss = res
+    dattrs = jnp.zeros((n_pad, g.shape[1]), g.dtype).at[flat_gauss].add(
+        g, mode="drop"
     )
-    return dattrs, None, None
+    return dattrs, None
 
 
 _gather_entries.defvjp(_ge_fwd, _ge_bwd)
@@ -402,6 +399,7 @@ def render_flatsort(
     tile_h: int = 32,
     tile_w: int = 32,
     dup: int = 16,
+    max_per_tile: int = 1024,
     interpret: bool = False,
 ):
     """Render one view via the flat-sort pipeline. Returns
@@ -417,7 +415,7 @@ def render_flatsort(
                              scale_modifier)
     meta = _flat_binning(
         jax.tree.map(jax.lax.stop_gradient, proj),
-        tiles_y, tiles_x, tile_h, tile_w, dup,
+        tiles_y, tiles_x, tile_h, tile_w, dup, max_per_tile,
     )
 
     # Per-gaussian attributes (+ zero pad row), gathered per slot.
@@ -426,7 +424,7 @@ def render_flatsort(
         axis=1,
     )  # [N, 9]
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
-    a = _gather_entries(attrs, meta.flat_gauss, meta.entry_padpos, dup)
+    a = _gather_entries(attrs, meta.flat_gauss)
 
     # Tile-local coefficient construction (elementwise, autodiff).
     torig_x = (meta.slot_tile % tiles_x).astype(jnp.float32) * tile_w
@@ -470,6 +468,7 @@ def render_views_flatsort(
     tile_h: int = 32,
     tile_w: int = 32,
     dup: int = 16,
+    max_per_tile: int = 1024,
     interpret: bool = False,
 ):
     """All [B, V] views, sequential lax.map with rematerialization."""
@@ -483,7 +482,7 @@ def render_views_flatsort(
         g, v, b = args
         return render_flatsort(
             g, v, image_size, tan_half_fov, b, scale_modifier,
-            tile_h, tile_w, dup, interpret,
+            tile_h, tile_w, dup, max_per_tile, interpret,
         )
 
     out = jax.lax.map(one, (g_flat, v_flat, bg_flat))

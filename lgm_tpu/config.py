@@ -47,6 +47,9 @@ class Options:
     gradient_accumulation_steps: int = 1
     num_epochs: int = 30
     lambda_lpips: float = 1.0
+    # Converted LPIPS VGG weights (.npz from tools/convert_lpips.py);
+    # None keeps the deterministic random-VGG init (see models/lpips.py).
+    lpips_weights: Optional[str] = None
     gradient_clip: float = 1.0
     mixed_precision: str = "bf16"
     lr: float = 4e-4

@@ -57,6 +57,27 @@ class VGG16Features(nn.Module):
         return taps
 
 
+def load_lpips_params(npz_path: str, lpips_params):
+    """Merge converted LPIPS weights (tools/convert_lpips.py output) into
+    an initialized LPIPS param subtree. Keys are '/'-joined flax paths;
+    missing keys keep their init values, shape mismatches raise."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(lpips_params), sep="/"
+    )
+    loaded = np.load(npz_path)
+    for k in loaded.files:
+        if k not in flat:
+            raise KeyError(f"converted LPIPS key {k!r} not in param tree")
+        if tuple(loaded[k].shape) != tuple(flat[k].shape):
+            raise ValueError(
+                f"{k}: shape {loaded[k].shape} != {flat[k].shape}"
+            )
+        flat[k] = jnp.asarray(loaded[k], flat[k].dtype)
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
 class LPIPS(nn.Module):
     """lpips(a, b) -> [B] distance. a, b: [B, H, W, 3] in [-1, 1]."""
 

@@ -65,6 +65,14 @@ def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
     # jit the init: eager flax init dispatches op-by-op (minutes through
     # the remote-TPU tunnel); compiled it runs in seconds.
     variables = jax.jit(model.init)(rng, sample_data, bg)
+    if opt.lpips_weights and "lpips_loss" in variables["params"]:
+        from lgm_tpu.models.lpips import load_lpips_params
+
+        params = dict(variables["params"])
+        params["lpips_loss"] = load_lpips_params(
+            opt.lpips_weights, params["lpips_loss"]
+        )
+        variables = {"params": params}
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -100,6 +108,20 @@ def eval_step(state: TrainState, data: Dict):
     out = state.apply_fn({"params": state.params}, data, jnp.ones(3))
     return {"loss": out["loss"], "psnr": out["psnr"],
             "images_pred": out["images_pred"]}
+
+
+def current_lr(opt: Options, step: int) -> float:
+    """The scheduled learning rate at `step` (for observability parity
+    with the reference's train/lr TB scalar, main1_lvis.py:211-213)."""
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=max(opt.total_steps, opt.warmup_steps + 1),
+        peak_value=opt.lr,
+        pct_start=opt.warmup_steps / max(opt.total_steps,
+                                         opt.warmup_steps + 1),
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+    return float(schedule(step))
 
 
 def save_checkpoint(workspace: str, state: TrainState, step: int):
@@ -184,6 +206,10 @@ def main(argv=None):
     mesh = make_mesh()
     print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
 
+    from lgm_tpu.utils.logging import MetricLogger, save_image_grid
+
+    logger = MetricLogger(opt.workspace)
+
     train_ds, test_ds = make_datasets(opt)
 
     rng = jax.random.PRNGKey(42)
@@ -215,9 +241,21 @@ def main(argv=None):
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_last
                 t_last = time.time()
+                m["lr"] = current_lr(opt, step)
+                logger.log(step, m, prefix="train")
                 print(
                     f"step {step}: loss {m['loss']:.4f} "
                     f"psnr {m['psnr']:.2f} ({dt:.1f}s/100it)"
+                )
+            if step % 500 == 0 and "images_output" in batch:
+                # GT-vs-pred grid, like the reference's per-500-iter dumps
+                # (main.py:120-136) — one extra eval fwd on the last batch.
+                ev = jit_eval(state, data)
+                save_image_grid(
+                    os.path.join(opt.workspace,
+                                 f"train_images_{step}.jpg"),
+                    np.asarray(batch["images_output"]),
+                    np.asarray(ev["images_pred"]),
                 )
             if step % 1000 == 0 or step == max_steps:
                 evals = []
@@ -231,15 +269,16 @@ def main(argv=None):
                         {k: float(v) for k, v in jit_eval(state, eb).items()
                          if k != "images_pred"}
                     )
+                emeans = {k: float(np.mean([e[k] for e in evals]))
+                          for k in evals[0]}
+                logger.log(step, emeans, prefix="eval")
                 print(
                     f"eval @ {step}: "
-                    + " ".join(
-                        f"{k} {np.mean([e[k] for e in evals]):.4f}"
-                        for k in evals[0]
-                    )
+                    + " ".join(f"{k} {v:.4f}" for k, v in emeans.items())
                 )
                 path = save_checkpoint(opt.workspace, state, step)
                 print(f"saved {path}")
+    logger.close()
 
 
 if __name__ == "__main__":

@@ -55,7 +55,12 @@ def make_optimizer(opt: Options) -> optax.GradientTransformation:
     label_fn = lambda params: jax.tree_util.tree_map_with_path(
         lambda path, x: "frozen" if _is_lpips(path, x) else "train", params
     )
-    return optax.multi_transform({"train": tx, "frozen": frozen}, label_fn)
+    tx = optax.multi_transform({"train": tx, "frozen": frozen}, label_fn)
+    if opt.gradient_accumulation_steps > 1:
+        # Reference grad accumulation (main.py:93, core/options.py:47-48):
+        # here as an optimizer wrapper, so train_step stays one jit graph.
+        tx = optax.MultiSteps(tx, opt.gradient_accumulation_steps)
+    return tx
 
 
 def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
@@ -201,14 +206,21 @@ def make_datasets(opt: Options):
 
 
 def main(argv=None):
+    # Multi-host pod launch: every host runs this same script; coordinator
+    # discovery via the standard TPU env (the reference's `accelerate
+    # launch` equivalent, ref: main.py:18-22; SURVEY.md §5.8).
+    if os.environ.get("LGM_TPU_MULTIHOST", "") == "1":
+        jax.distributed.initialize()
     opt = parse_cli(argv)
+    is_lead = jax.process_index() == 0
     os.makedirs(opt.workspace, exist_ok=True)
     mesh = make_mesh()
-    print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
+    if is_lead:
+        print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
 
     from lgm_tpu.utils.logging import MetricLogger, save_image_grid
 
-    logger = MetricLogger(opt.workspace)
+    logger = MetricLogger(opt.workspace, tensorboard=is_lead)
 
     train_ds, test_ds = make_datasets(opt)
 
@@ -242,12 +254,13 @@ def main(argv=None):
                 dt = time.time() - t_last
                 t_last = time.time()
                 m["lr"] = current_lr(opt, step)
-                logger.log(step, m, prefix="train")
-                print(
-                    f"step {step}: loss {m['loss']:.4f} "
-                    f"psnr {m['psnr']:.2f} ({dt:.1f}s/100it)"
-                )
-            if step % 500 == 0 and "images_output" in batch:
+                if is_lead:
+                    logger.log(step, m, prefix="train")
+                    print(
+                        f"step {step}: loss {m['loss']:.4f} "
+                        f"psnr {m['psnr']:.2f} ({dt:.1f}s/100it)"
+                    )
+            if step % 500 == 0 and is_lead and "images_output" in batch:
                 # GT-vs-pred grid, like the reference's per-500-iter dumps
                 # (main.py:120-136) — one extra eval fwd on the last batch.
                 ev = jit_eval(state, data)
@@ -271,13 +284,16 @@ def main(argv=None):
                     )
                 emeans = {k: float(np.mean([e[k] for e in evals]))
                           for k in evals[0]}
-                logger.log(step, emeans, prefix="eval")
-                print(
-                    f"eval @ {step}: "
-                    + " ".join(f"{k} {v:.4f}" for k, v in emeans.items())
-                )
+                if is_lead:
+                    logger.log(step, emeans, prefix="eval")
+                    print(
+                        f"eval @ {step}: "
+                        + " ".join(f"{k} {v:.4f}" for k, v in emeans.items())
+                    )
+                # orbax save is collective: every process participates.
                 path = save_checkpoint(opt.workspace, state, step)
-                print(f"saved {path}")
+                if is_lead:
+                    print(f"saved {path}")
     logger.close()
 
 

@@ -21,3 +21,13 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (dozens of
+# distinct jit graphs on a 2-vCPU host); caching XLA executables across
+# runs cuts repeat wall time by an order of magnitude. Safe to share
+# across xdist workers (the cache is process-safe, keyed by HLO hash).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

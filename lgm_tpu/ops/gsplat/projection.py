@@ -93,47 +93,87 @@ def project_gaussians(
     S = image_size
     focal = 0.5 * S / tan_half_fov
 
-    pos = gaussians[:, 0:3]
     opacity = gaussians[:, 3]
-    scale = gaussians[:, 4:7] * scale_modifier
-    quat = gaussians[:, 7:11]
     color = gaussians[:, 11:14]
 
-    # Camera-space position.
-    t = _mm(pos, w2c[:3, :3].T) + w2c[:3, 3]  # [N, 3]
-    depth = t[:, 2]
+    # Structure-of-arrays scalar-channel math throughout: every quantity is
+    # an [N] vector (full 128-lane utilization). The naive formulation —
+    # batched [N,2,3]@[N,3,3] matmuls — keeps the lane axis at 3 and runs
+    # ~16x below VPU peak; measured 3.5 ms -> sub-ms for N=65k on a v5e.
+    px, py, pz = gaussians[:, 0], gaussians[:, 1], gaussians[:, 2]
+    sx = gaussians[:, 4] * scale_modifier
+    sy = gaussians[:, 5] * scale_modifier
+    sz = gaussians[:, 6] * scale_modifier
+    qw, qx, qy, qz = (gaussians[:, 7], gaussians[:, 8],
+                      gaussians[:, 9], gaussians[:, 10])
+
+    # w2c rotation rows (static scalars) and translation.
+    W = w2c[:3, :3]
+    tx_w, ty_w, tz_w = w2c[0, 3], w2c[1, 3], w2c[2, 3]
+
+    # Camera-space position t = W @ p + t_vec, per component.
+    tx = W[0, 0] * px + W[0, 1] * py + W[0, 2] * pz + tx_w
+    ty = W[1, 0] * px + W[1, 1] * py + W[1, 2] * pz + ty_w
+    tz = W[2, 0] * px + W[2, 1] * py + W[2, 2] * pz + tz_w
+    depth = tz
     valid = depth > NEAR_CULL
-    # Safe depth for downstream math on culled points.
     zs = jnp.where(valid, depth, 1.0)
 
     # Frustum-clamped point for the Jacobian (standard EWA trick).
     lim = FRUSTUM_CLAMP * tan_half_fov
-    txz = jnp.clip(t[:, 0] / zs, -lim, lim) * zs
-    tyz = jnp.clip(t[:, 1] / zs, -lim, lim) * zs
+    txz = jnp.clip(tx / zs, -lim, lim) * zs
+    tyz = jnp.clip(ty / zs, -lim, lim) * zs
 
-    # J @ W: 2x3 perspective Jacobian times w2c rotation.
+    # Rotation matrix entries from the (normalized) quaternion.
+    qn = jax.lax.rsqrt(
+        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-16)
+    )
+    qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+
+    # M = R @ diag(s): column k of R scaled by s_k. cov3d = M @ M^T.
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
+
+    # JW rows: JW[0,:] = (f/z) W0 - (f txz / z^2) W2,
+    #          JW[1,:] = (f/z) W1 - (f tyz / z^2) W2.
     inv_z = 1.0 / zs
     inv_z2 = inv_z * inv_z
-    J = jnp.stack(
-        [
-            jnp.stack(
-                [focal * inv_z, jnp.zeros_like(inv_z), -focal * txz * inv_z2],
-                axis=-1,
-            ),
-            jnp.stack(
-                [jnp.zeros_like(inv_z), focal * inv_z, -focal * tyz * inv_z2],
-                axis=-1,
-            ),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    JW = _mm(J, w2c[:3, :3])  # [N, 2, 3]
+    g0 = focal * inv_z
+    gx = focal * txz * inv_z2
+    gy = focal * tyz * inv_z2
+    j00 = g0 * W[0, 0] - gx * W[2, 0]
+    j01 = g0 * W[0, 1] - gx * W[2, 1]
+    j02 = g0 * W[0, 2] - gx * W[2, 2]
+    j10 = g0 * W[1, 0] - gy * W[2, 0]
+    j11 = g0 * W[1, 1] - gy * W[2, 1]
+    j12 = g0 * W[1, 2] - gy * W[2, 2]
 
-    cov3d = covariance3d(scale, quat)  # [N, 3, 3]
-    cov2d = _mm(_mm(JW, cov3d), jnp.swapaxes(JW, -1, -2))  # [N, 2, 2]
-    a = cov2d[:, 0, 0] + COV2D_DILATE
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATE
+    # cov2d = JW Σ JW^T via u = Σ JW0, v = Σ JW1 (Σ symmetric).
+    u0 = c00 * j00 + c01 * j01 + c02 * j02
+    u1 = c01 * j00 + c11 * j01 + c12 * j02
+    u2 = c02 * j00 + c12 * j01 + c22 * j02
+    v0 = c00 * j10 + c01 * j11 + c02 * j12
+    v1 = c01 * j10 + c11 * j11 + c12 * j12
+    v2 = c02 * j10 + c12 * j11 + c22 * j12
+    a = j00 * u0 + j01 * u1 + j02 * u2 + COV2D_DILATE
+    b = j10 * u0 + j11 * u1 + j12 * u2
+    c = j10 * v0 + j11 * v1 + j12 * v2 + COV2D_DILATE
 
     det = a * c - b * b
     valid = valid & (det > 0.0)
@@ -150,8 +190,8 @@ def project_gaussians(
     center = 0.5 * (S - 1)
     mean2d = jnp.stack(
         [
-            focal * t[:, 0] * inv_z + center,
-            focal * t[:, 1] * inv_z + center,
+            focal * tx * inv_z + center,
+            focal * ty * inv_z + center,
         ],
         axis=-1,
     )

@@ -1,59 +1,66 @@
-"""Flat-sort Pallas Gaussian rasterizer (v2) — scatter-free binning.
+"""Flat-sort Pallas Gaussian rasterizer (v3) — tile-grid, transposed layout.
 
-The v1 pipeline (tiled.py) builds [T, K] per-tile index lists from a
-[T, N] intersection mask; its autodiff backward turns the per-tile gather
-into scatter-adds, which are pathologically slow on TPU (measured ~20x
-the forward). This v2 follows the GPU rasterizer's *logical* structure —
-duplicate per covered tile, sort once, contiguous per-tile ranges
-(ref: the CUDA backend of core/gs.py; SURVEY.md §2b N1) — but implemented
-with only XLA-friendly primitives: elementwise math, two argsorts,
-cumsum, searchsorted, gathers, and one flat scatter-add in the backward:
+Follows the GPU rasterizer's *logical* structure — duplicate per covered
+tile, sort once, contiguous per-tile depth-ordered ranges (ref: the CUDA
+backend of core/gs.py; SURVEY.md §2b N1) — with a TPU-native execution
+plan that evolved over three versions:
 
-1. Each Gaussian emits up to D duplicate entries, one per covered tile
-   (slot d -> tile (x0 + d mod w, y0 + d div w)); entries get the key
-   tile_id * N + depth_rank, so one variadic sort groups them by tile in
-   depth order (lax.sort on (key, iota) — sorted keys + permutation in
-   one pass, no post-sort gather).
-2. Per-tile ranges come from searchsorted; each range is capped at
-   max_per_tile nearest entries and padded to a multiple of the 128-lane
-   chunk (empty tiles keep one chunk), laid out contiguously. The padded
-   slot -> sorted entry map is *computed by gather* (searchsorted over
-   the offset table), not scattered.
-3. Per-entry attributes come from ONE gather; its custom VJP is one flat
-   [PAD, C] -> [N, C] scatter-add over the slot->gaussian map (a 262k-row
-   scatter-add measures ~6.5 ms on a v5e vs ~20 ms for the
-   inverse-permutation gather + dense slot-sum it replaces).
-4. The compositing kernel runs a flat chunk grid; scalar-prefetched
-   chunk->tile metadata drives the output block index map, so a tile's
-   chunks stream through while its accumulators live in scratch.
+v1 (tiled.py): [T, N] intersection masks; backward scatters — too slow.
+v2: scatter-free binning + flat chunk grid; measured compositing cost was
+    dominated by Mosaic per-grid-step overhead (2048 steps x ~2.7 us) and
+    by degenerate layouts ([P, 8] accumulators use 8 of 128 lanes).
+v3 (this file):
+  1. Binning: each active splat emits up to D duplicates, one per covered
+     tile; key = tile_id * N + depth_rank; ONE variadic lax.sort groups
+     them per tile front-to-back. searchsorted gives per-tile ranges,
+     capped at MPT nearest entries. The per-tile layout is *static*:
+     slot (t, i) -> sorted entry starts[t] + i, so there is no chunk
+     metadata at all — binning is sort + gathers, nothing else.
+  2. Compositing: grid = tiles (one step per tile, static output block).
+     Everything lives TRANSPOSED: splats on sublanes, pixels on lanes —
+     alpha [G, P] from one MXU matmul (8-feature contraction), color
+     accumulation contracts over the full 128-splat axis on the MXU, the
+     exclusive-transmittance prefix product runs as a 7-step
+     Hillis-Steele network along sublanes, and per-pixel state (T, acc)
+     is [rows, P] at full lane width. Per-splat opacity is broadcast
+     across lanes with an identity-matmul transpose ([1,G] -> [G,1]).
+  3. Backward: custom VJP, front-to-back replay using
+     suffix_i = U_total - prefix_i (no back-to-front sweep, O(pixels)
+     residuals). All reductions land MXU-shaped: d(coef) [8, G],
+     d(opacity) [1, G], d(color) [8, G] are direct matmuls in the
+     transposed layout.
+  4. Per-splat attributes reach the slots via ONE gather whose custom
+     VJP is one flat [T*MPT, C] -> [N, C] scatter-add over the
+     slot->gaussian map (dead slots map to a zero pad row). A
+     grouped-by-gaussian cumsum segment-sum was tried instead and lost:
+     the 262k-row permute gather it needs costs more than the scatter
+     once XLA can no longer fuse the cotangent producer into it.
 
-Compared to v1 this removes the O(T*N) binning mask and the backward
-per-tile scatters; capacity is O(min(N*D, T*max_per_tile)) with D = max
-covered tiles per splat (overflowing splats keep their first D tiles in
-row-major bbox order; tiles beyond max_per_tile keep the nearest ones,
-which front-to-back saturation makes invisible)."""
+Capacity is T * MPT slots (MPT = max_per_tile rounded to the 128 lane
+width); overflowing splats keep their first D tiles in row-major bbox
+order, and tiles past MPT keep the nearest entries — front-to-back
+saturation makes the dropped tail invisible."""
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lgm_tpu.ops.gsplat.projection import project_gaussians
+from lgm_tpu.ops.gsplat.projection import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    project_gaussians,
+)
 from lgm_tpu.ops.gsplat.tiled import (
     G_CHUNK,
     N_ROWS,
     T_EPS,
     _HI,
-    _chunk_alpha,
-    _pixel_features,
-    _prefix_prod_incl,
-    _prefix_sum_incl,
-    _shift_lanes,
     _tile_bboxes,
 )
 
@@ -61,11 +68,8 @@ from lgm_tpu.ops.gsplat.tiled import (
 class FlatBins(NamedTuple):
     """Static-shape flat binning layout (all int32)."""
 
-    flat_gauss: jnp.ndarray   # [PAD] gaussian id per padded slot (N = pad)
-    slot_tile: jnp.ndarray    # [PAD] tile id per padded slot
-    chunk_tile: jnp.ndarray   # [CAP]
-    chunk_local: jnp.ndarray  # [CAP] chunk index within its tile
-    chunk_last: jnp.ndarray   # [CAP] 1 if last chunk of its tile
+    flat_gauss: jnp.ndarray   # [T*MPT] gaussian id per slot (N = pad)
+    slot_tile: jnp.ndarray    # [T*MPT] tile id per slot
     counts: jnp.ndarray       # [T] valid entries per tile
 
 
@@ -76,16 +80,7 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
     D = dup
     T = tiles_y * tiles_x
     G = G_CHUNK
-    # Static chunk capacity: the worst case is bounded both globally
-    # (every splat emits D entries) and per tile (entries beyond
-    # max_per_tile are dropped — they are depth-sorted, so this keeps the
-    # nearest M; with front-to-back saturation at T_EPS anything past a
-    # few hundred overlaps is invisible). The per-tile cap is what keeps
-    # the compositing grid small: without it every view pays the global
-    # worst case in grid steps + DMA even when most chunks are dead.
     MPT = max(G, (max_per_tile // G) * G)
-    CAP = min((N * D) // G + T, T * (MPT // G))
-    PAD = CAP * G
 
     active = proj.valid & (proj.radius > 0)
     order = jnp.argsort(jnp.where(active, proj.depth, jnp.inf))
@@ -114,54 +109,31 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
     skeys, sidx = jax.lax.sort((key, iota), num_keys=1)
     tgrid = jnp.arange(T + 1, dtype=jnp.int32) * N
     bounds = jnp.searchsorted(skeys, tgrid).astype(jnp.int32)  # [T+1]
-    starts, ends = bounds[:-1], bounds[1:]
-    counts = jnp.minimum(ends - starts, MPT)
+    starts = bounds[:-1]
+    counts = jnp.minimum(bounds[1:] - starts, MPT)
 
-    pcount = ((jnp.maximum(counts, 1) + G - 1) // G) * G
-
-    # All slot-level index math happens at CHUNK granularity (CAP entries,
-    # 128x fewer) and is broadcast across lanes — a PAD-sized searchsorted
-    # here costs ~80 ms/view on a v5e.
-    nchunks = (pcount // G).astype(jnp.int32)
-    cbounds = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
-    )  # [T+1]
-    c = jnp.arange(CAP, dtype=jnp.int32)
-    chunk_tile = jnp.clip(
-        jnp.searchsorted(cbounds, c, side="right").astype(jnp.int32) - 1,
-        0, T - 1,
-    )
-    chunk_local = c - cbounds[chunk_tile]
-    chunk_last = (chunk_local == nchunks[chunk_tile] - 1).astype(jnp.int32)
-
-    lane = jnp.arange(G, dtype=jnp.int32)
-    src = (starts[chunk_tile] + chunk_local * G)[:, None] + lane[None, :]
-    pos_in_tile = (chunk_local * G)[:, None] + lane[None, :]
-    slot_live = (pos_in_tile < counts[chunk_tile][:, None]) & (
-        src < N * D
-    )
-    entry = jnp.where(slot_live, sidx[jnp.clip(src, 0, N * D - 1)], 0)
-    flat_gauss = jnp.where(slot_live, entry // D, N).reshape(-1).astype(
-        jnp.int32
-    )
+    # Static per-tile layout: slot (t, i) -> sorted entry starts[t] + i.
+    pos = jnp.arange(MPT, dtype=jnp.int32)
+    src = starts[:, None] + pos[None, :]               # [T, MPT]
+    live = (pos[None, :] < counts[:, None]) & (src < N * D)
+    entry = jnp.where(live, sidx[jnp.clip(src, 0, N * D - 1)], 0)
+    flat_gauss = jnp.where(live, entry // D, N).reshape(-1).astype(jnp.int32)
     slot_tile = jnp.broadcast_to(
-        chunk_tile[:, None], (CAP, G)
+        jnp.arange(T, dtype=jnp.int32)[:, None], (T, MPT)
     ).reshape(-1)
-
-    return FlatBins(flat_gauss, slot_tile, chunk_tile,
-                    chunk_local, chunk_last, counts)
+    return FlatBins(flat_gauss, slot_tile, counts)
 
 
 # ---------------------------------------------------------------------------
-# Scatter-free gather with permutation backward
+# Scatter-free gather with scatter-add backward
 # ---------------------------------------------------------------------------
 
 
 @jax.custom_vjp
 def _gather_entries(attrs_pad, flat_gauss):
-    """attrs_pad [N+1, C] -> per-slot attrs [PAD, C]. Backward is one flat
-    scatter-add back onto the gaussians (dead slots carry index N, the
-    zero pad row, and are dropped there)."""
+    """attrs_pad [N+1, C] -> per-slot attrs [T*MPT, C]. Backward is one
+    flat scatter-add back onto the gaussians (dead slots carry index N,
+    the zero pad row, and are dropped there)."""
     return attrs_pad[flat_gauss]
 
 
@@ -181,204 +153,253 @@ _gather_entries.defvjp(_ge_fwd, _ge_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Kernels (flat chunk grid)
+# In-kernel helpers (sublane-axis prefix networks; splats live on rows)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(ct_ref, cl_ref, cla_ref, cnt_ref, params_ref, pf_ref,
-                out_ref, t_scr, acc_scr):
-    c = pl.program_id(0)
-    t = ct_ref[c]
-    local = cl_ref[c]
+def _shift_rows(x, shift: int, fill: float):
+    """Shift down along the sublane (row) axis, filling vacated rows."""
+    rolled = pltpu.roll(x, shift=shift, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < shift, fill, rolled)
+
+
+def _prefix_prod_rows(x):
+    """Inclusive prefix product along the 128-row axis (Hillis-Steele)."""
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = x * _shift_rows(x, s, 1.0)
+    return x
+
+
+def _prefix_sum_rows(x):
+    """Inclusive prefix sum along the 128-row axis (Hillis-Steele)."""
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = x + _shift_rows(x, s, 0.0)
+    return x
+
+
+def _chunk_alpha_t(pf, blk, eye):
+    """Alpha for one [G, P] block in the transposed layout.
+
+    Returns (alpha, one_minus_alpha, araw, power)."""
+    power = jax.lax.dot_general(
+        blk[0:8], pf,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [G, P]
+    # Opacity is stored as a lane-vector [1, G]; broadcast it across the
+    # pixel lanes by an identity matmul transpose -> [G, 1].
+    op_col = jax.lax.dot_general(
+        eye, blk[6:7],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [G, 1]
+    araw = op_col * jnp.exp(power)
+    use = (power <= 0.0) & (araw >= ALPHA_MIN)
+    alpha = jnp.where(use, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    return alpha, 1.0 - alpha, araw, power
+
+
+# ---------------------------------------------------------------------------
+# Kernels: one grid step per tile, NC static chunks inside
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr):
+    t = pl.program_id(0)
     count = cnt_ref[t]
-    P = pf_ref.shape[0]
+    NC = params_ref.shape[1]
+    P = pf_ref.shape[1]
+    eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
 
-    @pl.when(local == 0)
-    def _():
-        t_scr[:] = jnp.ones((P, 1), jnp.float32)
-        acc_scr[:] = jnp.zeros((P, 8), jnp.float32)
+    t_scr[:] = jnp.ones((1, P), jnp.float32)
+    acc_scr[:] = jnp.zeros((8, P), jnp.float32)
 
-    live = (local * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
+    for k in range(NC):
+        live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
 
-    @pl.when(live)
-    def _():
-        pf = pf_ref[:]
-        blk = params_ref[0]
-        alpha, om, _, _ = _chunk_alpha(pf, blk)
-        cp = _prefix_prod_incl(om)
-        t_excl = _shift_lanes(cp, 1, 1.0)
-        w = alpha * t_excl * t_scr[:]
-        acc_scr[:] += jax.lax.dot_general(
-            w, blk[8:16], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        t_scr[:] *= cp[:, G_CHUNK - 1:G_CHUNK]
+        @pl.when(live)
+        def _(k=k):
+            pf = pf_ref[:]
+            blk = params_ref[0, k]
+            alpha, om, _, _ = _chunk_alpha_t(pf, blk, eye)
+            cp = _prefix_prod_rows(om)
+            t_excl = _shift_rows(cp, 1, 1.0)
+            w = alpha * t_excl * t_scr[:]        # [G, P]
+            acc_scr[:] += jax.lax.dot_general(
+                blk[8:16], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # [8, P], full-width MXU contraction over G
+            t_scr[:] *= cp[G_CHUNK - 1:G_CHUNK, :]
 
-    @pl.when(cla_ref[c] == 1)
-    def _():
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
-        out_ref[0] = jnp.where(col == 4, t_scr[:], acc_scr[:])
+    acc = acc_scr[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    out_ref[0] = jnp.where(row == 4, t_scr[:], acc)
 
 
-def _bwd_kernel(ct_ref, cl_ref, cla_ref, cnt_ref, params_ref, pf_ref,
-                fo_ref, go_ref, dparams_ref, t_scr, prefu_scr):
-    c = pl.program_id(0)
-    t = ct_ref[c]
-    local = cl_ref[c]
+def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
+                dparams_ref, t_scr, prefu_scr):
+    t = pl.program_id(0)
     count = cnt_ref[t]
-    P = pf_ref.shape[0]
+    NC = params_ref.shape[1]
+    P = pf_ref.shape[1]
+    eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
 
-    @pl.when(local == 0)
-    def _():
-        t_scr[:] = jnp.ones((P, 1), jnp.float32)
-        prefu_scr[:] = jnp.zeros((P, 1), jnp.float32)
+    t_scr[:] = jnp.ones((1, P), jnp.float32)
+    prefu_scr[:] = jnp.zeros((1, P), jnp.float32)
 
-    live = (local * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
+    fo = fo_ref[0]
+    go = go_ref[0]
+    T_final = fo[4:5, :]
+    gT = go[4:5, :]
+    U_total = jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)  # [1, P]
+    ones_p = jnp.ones((1, P), jnp.float32)
 
-    @pl.when(jnp.logical_not(live))
-    def _():
-        dparams_ref[0] = jnp.zeros(dparams_ref.shape[1:],
-                                   dparams_ref.dtype)
+    for k in range(NC):
+        live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
 
-    @pl.when(live)
-    def _():
-        pf = pf_ref[:]
-        blk = params_ref[0]
-        fo = fo_ref[0]
-        go = go_ref[0]
-        T_final = fo[:, 4:5]
-        gT = go[:, 4:5]
-        U_total = jnp.sum(go[:, 0:4] * fo[:, 0:4], axis=1, keepdims=True)
+        @pl.when(jnp.logical_not(live))
+        def _(k=k):
+            dparams_ref[0, k] = jnp.zeros((N_ROWS, G_CHUNK), jnp.float32)
 
-        T = t_scr[:]
-        prefU = prefu_scr[:]
-        alpha, om, araw, power = _chunk_alpha(pf, blk)
-        cp = _prefix_prod_incl(om)
-        t_excl = _shift_lanes(cp, 1, 1.0)
-        Ti = t_excl * T
-        w = alpha * Ti
+        @pl.when(live)
+        def _(k=k):
+            pf = pf_ref[:]
+            blk = params_ref[0, k]
+            T = t_scr[:]                   # [1, P]
+            prefU = prefu_scr[:]           # [1, P]
+            alpha, om, araw, power = _chunk_alpha_t(pf, blk, eye)
+            cp = _prefix_prod_rows(om)
+            t_excl = _shift_rows(cp, 1, 1.0)
+            Ti = t_excl * T                # [G, P]
+            w = alpha * Ti
 
-        s = jax.lax.dot_general(
-            go, blk[8:16], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        u = s * w
-        u_scan = _prefix_sum_incl(u)
-        prefU_i = prefU + u_scan
+            s = jax.lax.dot_general(
+                blk[8:16], go,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # [G, P]
+            u = s * w
+            u_scan = _prefix_sum_rows(u)
+            prefU_i = prefU + u_scan
 
-        active = alpha > 0.0
-        om_safe = jnp.maximum(om, 1.0 - 0.99)
-        dalpha = (s * Ti - (U_total - prefU_i) / om_safe
-                  - gT * T_final / om_safe)
-        dalpha = jnp.where(active, dalpha, 0.0)
-        unclamped = araw < 0.99
-        dpower = dalpha * alpha * unclamped
+            active = alpha > 0.0
+            om_safe = jnp.maximum(om, 1.0 - ALPHA_MAX)
+            dalpha = (s * Ti - (U_total - prefU_i) / om_safe
+                      - gT * T_final / om_safe)
+            dalpha = jnp.where(active, dalpha, 0.0)
+            unclamped = araw < ALPHA_MAX
+            dpower = dalpha * alpha * unclamped
 
-        dcoef = jax.lax.dot_general(
-            pf, dpower, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        e = jnp.where(active & unclamped, jnp.exp(power), 0.0)
-        dop = jnp.sum(dalpha * e, axis=0, keepdims=True)
-        dcol = jax.lax.dot_general(
-            go, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
+            dcoef = jax.lax.dot_general(
+                pf, dpower,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # [8, G]
+            e = jnp.where(active & unclamped, jnp.exp(power), 0.0)
+            dop = jax.lax.dot_general(
+                ones_p, dalpha * e,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # [1, G]
+            dcol = jax.lax.dot_general(
+                go, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # [8, G] (rows 0..3 meaningful)
+            zeros_row = jnp.zeros((1, G_CHUNK), jnp.float32)
+            dblk = jnp.concatenate(
+                [dcoef[0:6], dop, zeros_row, dcol[0:3],
+                 jnp.zeros((5, G_CHUNK), jnp.float32)], axis=0,
+            )  # [16, G]
+            dparams_ref[0, k] = dblk
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (N_ROWS, G_CHUNK), 0)
-        dblk = jnp.where(
-            row < 6,
-            jnp.concatenate([dcoef, jnp.zeros_like(dcoef)], axis=0), 0.0,
-        )
-        dblk = jnp.where(row == 6, jnp.broadcast_to(dop, dblk.shape), dblk)
-        dcol_sh = jnp.concatenate(
-            [jnp.zeros((8, G_CHUNK), jnp.float32), dcol], axis=0
-        )
-        dblk = jnp.where((row >= 8) & (row <= 10), dcol_sh, dblk)
-        dparams_ref[0] = dblk
-
-        prefu_scr[:] = prefU + u_scan[:, G_CHUNK - 1:G_CHUNK]
-        t_scr[:] = T * cp[:, G_CHUNK - 1:G_CHUNK]
-
-
-def _imap_params(c, ct, cl, cla, cnt):
-    return (c, 0, 0)
+            prefu_scr[:] = prefU + u_scan[G_CHUNK - 1:G_CHUNK, :]
+            t_scr[:] = T * cp[G_CHUNK - 1:G_CHUNK, :]
 
 
-def _imap_pf(c, ct, cl, cla, cnt):
-    return (0, 0)
+def _pixel_features_t(tile_h: int, tile_w: int) -> jnp.ndarray:
+    """[8, P] per-pixel features in tile-local coords (transposed:
+    features on sublanes, pixels on lanes): (x², y², xy, x, y, 1, 0, 0)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    x = xs.reshape(-1)
+    y = ys.reshape(-1)
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [x * x, y * y, x * y, x, y, one, zero, zero], axis=0
+    )
 
 
-def _imap_tileout(c, ct, cl, cla, cnt):
-    return (ct[c], 0, 0)
-
-
-def _run_fwd(params_flat, meta: FlatBins, pf, n_tiles, interpret):
-    CAP = params_flat.shape[0]
-    P = pf.shape[0]
+def _run_fwd(params, counts, pf, interpret):
+    T, NC = params.shape[0], params.shape[1]
+    P = pf.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(CAP,),
+        num_scalar_prefetch=1,
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, N_ROWS, G_CHUNK), _imap_params),
-            pl.BlockSpec((P, 8), _imap_pf),
+            pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+                         lambda t, cnt: (t, 0, 0, 0)),
+            pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), _imap_tileout),
+        out_specs=pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 8), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((8, P), jnp.float32),
         ],
     )
     return pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=interpret,
-    )(meta.chunk_tile, meta.chunk_local, meta.chunk_last, meta.counts,
-      params_flat, pf)
+    )(counts, params, pf)
 
 
-def _run_bwd(params_flat, meta: FlatBins, pf, fo, go, interpret):
-    CAP = params_flat.shape[0]
-    P = pf.shape[0]
+def _run_bwd(params, counts, pf, fo, go, interpret):
+    T, NC = params.shape[0], params.shape[1]
+    P = pf.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(CAP,),
+        num_scalar_prefetch=1,
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, N_ROWS, G_CHUNK), _imap_params),
-            pl.BlockSpec((P, 8), _imap_pf),
-            pl.BlockSpec((1, P, 8), _imap_tileout),
-            pl.BlockSpec((1, P, 8), _imap_tileout),
+            pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+                         lambda t, cnt: (t, 0, 0, 0)),
+            pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
+            pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
+            pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, N_ROWS, G_CHUNK), _imap_params),
+        out_specs=pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+                               lambda t, cnt: (t, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(params_flat.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(params.shape, jnp.float32),
         interpret=interpret,
-    )(meta.chunk_tile, meta.chunk_local, meta.chunk_last, meta.counts,
-      params_flat, pf, fo, go)
+    )(counts, params, pf, fo, go)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _composite_flat(params_flat, meta: FlatBins, pf, n_tiles, interpret):
-    return _run_fwd(params_flat, meta, pf, n_tiles, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _composite_flat(params, counts, pf, interpret):
+    return _run_fwd(params, counts, pf, interpret)
 
 
-def _cf_fwd(params_flat, meta, pf, n_tiles, interpret):
-    out = _run_fwd(params_flat, meta, pf, n_tiles, interpret)
-    return out, (params_flat, meta, pf, out)
+def _cf_fwd(params, counts, pf, interpret):
+    out = _run_fwd(params, counts, pf, interpret)
+    return out, (params, counts, pf, out)
 
 
-def _cf_bwd(n_tiles, interpret, res, go):
-    params_flat, meta, pf, fo = res
-    dparams = _run_bwd(params_flat, meta, pf, fo, go, interpret)
-    return dparams, FlatBins(*([None] * len(meta))), None
+def _cf_bwd(interpret, res, go):
+    params, counts, pf, fo = res
+    dparams = _run_bwd(params, counts, pf, fo, go, interpret)
+    return dparams, None, None
 
 
 _composite_flat.defvjp(_cf_fwd, _cf_bwd)
@@ -410,6 +431,8 @@ def render_flatsort(
     T = tiles_y * tiles_x
     N = gaussians.shape[0]
     assert T * N < 2**31, "int32 sort key space exceeded"
+    MPT = max(G_CHUNK, (max_per_tile // G_CHUNK) * G_CHUNK)
+    NC = MPT // G_CHUNK
 
     proj = project_gaussians(gaussians, view, S, tan_half_fov,
                              scale_modifier)
@@ -442,17 +465,16 @@ def render_flatsort(
         op, zeros, a[:, 6], a[:, 7], a[:, 8], ones,
         zeros, zeros, zeros, zeros,
     ]
-    params_flat = jnp.stack(rows, axis=-1)           # [PAD, 16]
-    CAP = params_flat.shape[0] // G_CHUNK
-    params_flat = params_flat.reshape(CAP, G_CHUNK, N_ROWS).transpose(
-        0, 2, 1
-    )  # [CAP, 16, G]
+    params_flat = jnp.stack(rows, axis=-1)           # [T*MPT, 16]
+    params = params_flat.reshape(T, NC, G_CHUNK, N_ROWS).transpose(
+        0, 1, 3, 2
+    )  # [T, NC, 16, G]
 
-    pf = _pixel_features(tile_h, tile_w)
-    out = _composite_flat(params_flat, meta, pf, T, interpret)
+    pf = _pixel_features_t(tile_h, tile_w)
+    out = _composite_flat(params, meta.counts, pf, interpret)
 
-    out = out.reshape(tiles_y, tiles_x, tile_h, tile_w, 8)
-    out = out.transpose(0, 2, 1, 3, 4).reshape(S, S, 8)
+    out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(S, S, 8)
     rgb, alpha, Tf = out[..., 0:3], out[..., 3], out[..., 4]
     image = rgb + Tf[..., None] * bg_color[None, None, :]
     return {"image": image, "alpha": alpha}

@@ -68,9 +68,11 @@ from lgm_tpu.ops.gsplat.tiled import (
 class FlatBins(NamedTuple):
     """Static-shape flat binning layout (all int32)."""
 
-    flat_gauss: jnp.ndarray   # [T*MPT] gaussian id per slot (N = pad)
+    flat_rank: jnp.ndarray    # [T*MPT] depth rank per slot (N = dead pad)
     slot_tile: jnp.ndarray    # [T*MPT] tile id per slot
     counts: jnp.ndarray       # [T] valid entries per tile
+    order: jnp.ndarray        # [N] gaussian id per depth rank
+    rank: jnp.ndarray         # [N] depth rank per gaussian id
 
 
 def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
@@ -83,7 +85,9 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
     MPT = max(G, (max_per_tile // G) * G)
 
     active = proj.valid & (proj.radius > 0)
-    order = jnp.argsort(jnp.where(active, proj.depth, jnp.inf))
+    order = jnp.argsort(jnp.where(active, proj.depth, jnp.inf)).astype(
+        jnp.int32
+    )
     rank = jnp.argsort(order).astype(jnp.int32)  # depth rank per gaussian
 
     x0, x1, y0, y1 = _tile_bboxes(
@@ -102,26 +106,32 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
         slot_ok, tile_id * N + rank[:, None], INVALID
     ).reshape(-1)  # [N*D] int32 (requires T*N < 2^31)
 
-    # One variadic sort yields both the sorted keys and the permutation;
-    # `argsort` + `key[sidx]` would pay an extra 1M-element random gather
-    # (~7 ms/view on a v5e, slower than the sort itself).
-    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
-    skeys, sidx = jax.lax.sort((key, iota), num_keys=1)
+    # Single-operand sort: the sorted key itself encodes everything —
+    # tile = key // N, depth rank = key % N. (Carrying an iota payload and
+    # gathering it per slot costs ~2 ms/view more: 262k scalar gathers.)
+    skeys = jax.lax.sort(key)
     tgrid = jnp.arange(T + 1, dtype=jnp.int32) * N
     bounds = jnp.searchsorted(skeys, tgrid).astype(jnp.int32)  # [T+1]
     starts = bounds[:-1]
     counts = jnp.minimum(bounds[1:] - starts, MPT)
 
     # Static per-tile layout: slot (t, i) -> sorted entry starts[t] + i.
+    # Each tile's entries are CONTIGUOUS in skeys, so this is T dynamic
+    # slices (full-lane DMA), not a random gather.
+    skeys_pad = jnp.concatenate(
+        [skeys, jnp.full((MPT,), INVALID, jnp.int32)]
+    )
+    keys_t = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(skeys_pad, (s,), (MPT,))
+    )(starts)                                          # [T, MPT]
     pos = jnp.arange(MPT, dtype=jnp.int32)
-    src = starts[:, None] + pos[None, :]               # [T, MPT]
-    live = (pos[None, :] < counts[:, None]) & (src < N * D)
-    entry = jnp.where(live, sidx[jnp.clip(src, 0, N * D - 1)], 0)
-    flat_gauss = jnp.where(live, entry // D, N).reshape(-1).astype(jnp.int32)
-    slot_tile = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.int32)[:, None], (T, MPT)
-    ).reshape(-1)
-    return FlatBins(flat_gauss, slot_tile, counts)
+    live = pos[None, :] < counts[:, None]
+    tvec = jnp.arange(T, dtype=jnp.int32)
+    flat_rank = jnp.where(
+        live, keys_t - (tvec * N)[:, None], N
+    ).reshape(-1).astype(jnp.int32)
+    slot_tile = jnp.broadcast_to(tvec[:, None], (T, MPT)).reshape(-1)
+    return FlatBins(flat_rank, slot_tile, counts, order, rank)
 
 
 # ---------------------------------------------------------------------------
@@ -130,26 +140,45 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
 
 
 @jax.custom_vjp
-def _gather_entries(attrs_pad, flat_gauss):
-    """attrs_pad [N+1, C] -> per-slot attrs [T*MPT, C]. Backward is one
-    flat scatter-add back onto the gaussians (dead slots carry index N,
-    the zero pad row, and are dropped there)."""
-    return attrs_pad[flat_gauss]
+def _gather_entries(attrs_pad, flat_rank):
+    """attrs_pad [N+1, C] (depth-rank order) -> per-slot attrs
+    [T*MPT, C]. Backward is one flat scatter-add back onto the rank rows
+    (dead slots carry index N, the zero pad row, and are dropped
+    there)."""
+    return attrs_pad[flat_rank]
 
 
-def _ge_fwd(attrs_pad, flat_gauss):
-    return attrs_pad[flat_gauss], (attrs_pad.shape[0], flat_gauss)
+def _ge_fwd(attrs_pad, flat_rank):
+    return attrs_pad[flat_rank], (attrs_pad.shape[0], flat_rank)
 
 
 def _ge_bwd(res, g):
-    n_pad, flat_gauss = res
-    dattrs = jnp.zeros((n_pad, g.shape[1]), g.dtype).at[flat_gauss].add(
+    n_pad, flat_rank = res
+    dattrs = jnp.zeros((n_pad, g.shape[1]), g.dtype).at[flat_rank].add(
         g, mode="drop"
     )
     return dattrs, None
 
 
 _gather_entries.defvjp(_ge_fwd, _ge_bwd)
+
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """x[perm] with an exact gather backward (perm is a permutation, so
+    the cotangent is just the inverse gather — no scatter)."""
+    return x[perm]
+
+
+def _pr_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _pr_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+_permute_rows.defvjp(_pr_fwd, _pr_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -441,13 +470,15 @@ def render_flatsort(
         tiles_y, tiles_x, tile_h, tile_w, dup, max_per_tile,
     )
 
-    # Per-gaussian attributes (+ zero pad row), gathered per slot.
+    # Per-gaussian attributes, reordered to depth-rank rows (+ zero pad
+    # row), then gathered per slot by rank.
     attrs = jnp.concatenate(
         [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color],
         axis=1,
     )  # [N, 9]
+    attrs = _permute_rows(attrs, meta.order, meta.rank)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
-    a = _gather_entries(attrs, meta.flat_gauss)
+    a = _gather_entries(attrs, meta.flat_rank)
 
     # Tile-local coefficient construction (elementwise, autodiff).
     torig_x = (meta.slot_tile % tiles_x).astype(jnp.float32) * tile_w
@@ -456,7 +487,7 @@ def render_flatsort(
     my = a[:, 1] - torig_y
     A, B, C = a[:, 2], a[:, 3], a[:, 4]
     op = a[:, 5]
-    ones = jnp.where(meta.flat_gauss < N, 1.0, 0.0)
+    ones = jnp.where(meta.flat_rank < N, 1.0, 0.0)
     zeros = jnp.zeros_like(op)
     rows = [
         -0.5 * A, -0.5 * C, -B,

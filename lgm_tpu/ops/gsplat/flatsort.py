@@ -31,10 +31,18 @@ v3 (this file):
      transposed layout.
   4. Per-splat attributes reach the slots via ONE gather whose custom
      VJP is one flat [T*MPT, C] -> [N, C] scatter-add over the
-     slot->gaussian map (dead slots map to a zero pad row). A
-     grouped-by-gaussian cumsum segment-sum was tried instead and lost:
-     the 262k-row permute gather it needs costs more than the scatter
-     once XLA can no longer fuse the cotangent producer into it.
+     slot->gaussian map (dead slots map to a zero pad row). Two
+     segment-sum replacements were tried and lost end-to-end:
+     (a) grouped-by-gaussian cumsum via a 262k-row permute gather, and
+     (b) variadic lax.sort carrying the cotangent columns as payloads +
+     prefix-sum differencing at rank boundaries (13.6 -> 27.4 ms/view
+     fwd+bwd on a v5e) — in isolation each beats the 3.3-3.9 ms
+     scatter, but the scatter fuses with its cotangent producer while
+     the sort forfeits that fusion.
+  5. Grid batching: KPT>1 tiles per Mosaic grid step was measured at
+     ~2x SLOWER @512/65k (larger blocks starve the DMA/compute
+     pipeline; the per-step overhead is not the bottleneck) — keep one
+     tile per step.
 
 Capacity is T * MPT slots (MPT = max_per_tile rounded to the 128 lane
 width); overflowing splats keep their first D tiles in row-major bbox

@@ -263,17 +263,25 @@ class LVISDataset:
 
 
 class Loader:
-    """Batched loader with background-thread prefetch (replaces the
-    reference's torch DataLoader worker pool, ref: main.py:52-70)."""
+    """Batched loader with a worker thread pool (replaces the reference's
+    torch DataLoader worker pool, ref: main.py:52-70).
+
+    Samples are loaded by ``workers`` threads — cv2/PIL decode and numpy
+    resize release the GIL, so threads parallelize the way the reference's
+    worker *processes* do without pickling batches across processes — and
+    up to ``prefetch`` whole batches are in flight ahead of the consumer;
+    batches are yielded strictly in order."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True,
+                 workers: int = 8):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
+        self.workers = max(workers, 1)
 
     def __len__(self):
         n = len(self.ds) // self.bs
@@ -288,26 +296,32 @@ class Loader:
         return idx
 
     def epoch(self, epoch: int = 0):
-        """Yield stacked batch dicts for one epoch."""
+        """Yield stacked batch dicts for one epoch, in order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         idx = self._epoch_indices(epoch)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         n_batches = len(self)
 
-        def worker():
-            for b in range(n_batches):
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            window: deque = deque()  # [(sample futures for one batch)]
+
+            def submit(b):
                 sel = idx[b * self.bs:(b + 1) * self.bs]
-                samples = [self.ds[int(i)] for i in sel]
-                batch = {
+                window.append(
+                    [pool.submit(self.ds.__getitem__, int(i)) for i in sel]
+                )
+
+            for b in range(min(self.prefetch, n_batches)):
+                submit(b)
+            next_b = len(window)
+            while window:
+                futs = window.popleft()
+                if next_b < n_batches:
+                    submit(next_b)
+                    next_b += 1
+                samples = [f.result() for f in futs]
+                yield {
                     k: np.stack([s[k] for s in samples])
                     for k in samples[0]
                 }
-                q.put(batch)
-            q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            yield batch

@@ -45,9 +45,11 @@ v3 (this file):
      tile per step.
 
 Capacity is T * MPT slots (MPT = max_per_tile rounded to the 128 lane
-width); overflowing splats keep their first D tiles in row-major bbox
-order, and tiles past MPT keep the nearest entries — front-to-back
-saturation makes the dropped tail invisible."""
+width); each splat enumerates 2D candidate cells over the exact per-axis
+ellipse AABB, conic-culls provably-zero (splat, tile) pairs, compacts the
+survivors, and keeps the first D live tiles in row-major bbox order;
+tiles past MPT keep the nearest entries — front-to-back saturation makes
+the dropped tail invisible."""
 
 from __future__ import annotations
 
@@ -69,7 +71,7 @@ from lgm_tpu.ops.gsplat.tiled import (
     N_ROWS,
     T_EPS,
     _HI,
-    _tile_bboxes,
+    _tile_bboxes_xy,
 )
 
 
@@ -92,27 +94,84 @@ def _flat_binning(proj, tiles_y: int, tiles_x: int, tile_h: int,
     G = G_CHUNK
     MPT = max(G, (max_per_tile // G) * G)
 
+    D2 = 2 * D  # candidate cells enumerated before live-cell compaction
+
     active = proj.valid & (proj.radius > 0)
     order = jnp.argsort(jnp.where(active, proj.depth, jnp.inf)).astype(
         jnp.int32
     )
     rank = jnp.argsort(order).astype(jnp.int32)  # depth rank per gaussian
 
-    x0, x1, y0, y1 = _tile_bboxes(
-        proj.mean2d, proj.radius, tile_h, tile_w, tiles_y, tiles_x
+    # Per-axis AABB of the visibility ellipse (projection computes the
+    # exact half-widths) — much tighter than the square lam_max box for
+    # anisotropic splats.
+    rx = proj.radius_x if proj.radius_x is not None else proj.radius
+    ry = proj.radius_y if proj.radius_y is not None else proj.radius
+    x0, x1, y0, y1 = _tile_bboxes_xy(
+        proj.mean2d, rx, ry, tile_h, tile_w, tiles_y, tiles_x
     )
     w = x1 - x0
     h = y1 - y0
-    d = jnp.arange(D, dtype=jnp.int32)
+    d = jnp.arange(D2, dtype=jnp.int32)
     wi = jnp.maximum(w, 1)[:, None]
     tx = x0[:, None] + d[None, :] % wi
     ty = y0[:, None] + d[None, :] // wi
     slot_ok = active[:, None] & (d[None, :] < (w * h)[:, None])
+
+    # Exact conic-vs-tile culling: a (splat, tile) pair only contributes
+    # if some pixel center passes the kernel's alpha cutoff
+    # op*exp(-q/2) >= ALPHA_MIN, i.e. q <= 2(ln op - ln ALPHA_MIN). The
+    # continuous min of the PD quadratic q over the tile's pixel-center
+    # rect lower-bounds the discrete min, so culling on it is exact: it
+    # drops only provably-zero entries (the square 3-sigma bbox wildly
+    # overestimates coverage for anisotropic splats). Min over rect =
+    # 0 if the mean is inside, else the min over the 4 edges (each a 1D
+    # quadratic with closed-form clamped argmin). ~30 flops/candidate.
+    A = proj.conic[:, 0:1]
+    Bc = proj.conic[:, 1:2]
+    C = proj.conic[:, 2:3]
+    rx0 = tx.astype(jnp.float32) * tile_w - proj.mean2d[:, 0:1]
+    rx1 = rx0 + (tile_w - 1)
+    ry0 = ty.astype(jnp.float32) * tile_h - proj.mean2d[:, 1:2]
+    ry1 = ry0 + (tile_h - 1)
+    A_s = jnp.maximum(A, 1e-8)
+    C_s = jnp.maximum(C, 1e-8)
+
+    def _edge_x(e):  # dx fixed at e, dy free in [ry0, ry1]
+        dy = jnp.clip(-Bc * e / C_s, ry0, ry1)
+        return A * e * e + 2.0 * Bc * e * dy + C * dy * dy
+
+    def _edge_y(e):  # dy fixed at e, dx free in [rx0, rx1]
+        dx = jnp.clip(-Bc * e / A_s, rx0, rx1)
+        return A * dx * dx + 2.0 * Bc * dx * e + C * e * e
+
+    qmin = jnp.minimum(
+        jnp.minimum(_edge_x(rx0), _edge_x(rx1)),
+        jnp.minimum(_edge_y(ry0), _edge_y(ry1)),
+    )
+    inside = (rx0 <= 0) & (0 <= rx1) & (ry0 <= 0) & (0 <= ry1)
+    qmin = jnp.where(inside, 0.0, qmin)
+    tau = 2.0 * (
+        jnp.log(jnp.maximum(proj.opacity[:, None], 1e-12))
+        - jnp.log(ALPHA_MIN)
+    )
+    slot_ok = slot_ok & (qmin <= tau)
+
     tile_id = ty * tiles_x + tx
     INVALID = jnp.int32(T) * jnp.int32(N)
-    key = jnp.where(
+    key2d = jnp.where(
         slot_ok, tile_id * N + rank[:, None], INVALID
-    ).reshape(-1)  # [N*D] int32 (requires T*N < 2^31)
+    )  # [N, D2] int32 (requires T*N < 2^31)
+
+    # Live-cell compaction: a row-major bbox walk capped at D slots drops
+    # *visible* tiles once the bbox exceeds D cells (an isotropic splat's
+    # 3x6-cell box overflows D=16), while the conic test proves many of
+    # the candidates dead (ellipse area ~ pi/4 of its AABB). Sorting each
+    # row moves live keys to the front — rank is constant per row, so the
+    # sort is a stable compaction in tile order — and the first D
+    # survivors of 2D candidates are kept. Only splats whose *live* cell
+    # count exceeds D still truncate.
+    key = jax.lax.sort(key2d, dimension=1)[:, :D].reshape(-1)  # [N*D]
 
     # Single-operand sort: the sorted key itself encodes everything —
     # tile = key // N, depth rank = key % N. (Carrying an iota payload and

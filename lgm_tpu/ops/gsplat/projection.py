@@ -39,10 +39,12 @@ class Projected(NamedTuple):
     mean2d: jnp.ndarray   # [N, 2] pixel coords (pixel i spans [i-.5, i+.5))
     conic: jnp.ndarray    # [N, 3] inverse 2D covariance (a, b, c)
     depth: jnp.ndarray    # [N] camera-space z
-    radius: jnp.ndarray   # [N] 3-sigma screen radius in pixels (0 if culled)
+    radius: jnp.ndarray   # [N] visibility radius in pixels (0 if culled)
     color: jnp.ndarray    # [N, 3]
     opacity: jnp.ndarray  # [N]
     valid: jnp.ndarray    # [N] bool, survives near/degenerate culling
+    radius_x: jnp.ndarray = None  # [N] exact AABB half-width in pixels
+    radius_y: jnp.ndarray = None  # [N] exact AABB half-height in pixels
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -181,10 +183,29 @@ def project_gaussians(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # 3-sigma radius from the larger covariance eigenvalue.
-    mid = 0.5 * (a + c)
-    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
-    radius = jnp.where(valid, jnp.ceil(3.0 * jnp.sqrt(lam_max)), 0.0)
+    # Opacity-aware exact extent: the compositor's cutoff is
+    # op*exp(-q/2) >= ALPHA_MIN, i.e. the splat is invisible outside the
+    # ellipse q <= tau with tau = 2 ln(op/ALPHA_MIN). The ellipse's exact
+    # axis-aligned bounding box has half-widths sqrt(tau * Sigma_xx) and
+    # sqrt(tau * Sigma_yy) (Sigma = 2D covariance — a/c here, already
+    # dilated). This is tight per axis, unlike the CUDA rasterizer's
+    # square 3-sigma-of-lam_max box, which errs both ways: it crops the
+    # visible 3..3.33-sigma ring of opaque splats and wastes tiles on
+    # low-opacity and anisotropic ones. Splats with op <= ALPHA_MIN can
+    # never pass the cutoff and are culled outright.
+    tau = 2.0 * (
+        jnp.log(jnp.maximum(opacity, 1e-12)) - jnp.log(ALPHA_MIN)
+    )
+    valid = valid & (tau > 0.0)
+    tau_s = jnp.maximum(tau, 0.0)
+    zero = jnp.zeros_like(tau)
+    radius_x = jnp.where(
+        valid, jnp.ceil(jnp.sqrt(tau_s * jnp.maximum(a, 0.0))), zero
+    )
+    radius_y = jnp.where(
+        valid, jnp.ceil(jnp.sqrt(tau_s * jnp.maximum(c, 0.0))), zero
+    )
+    radius = jnp.maximum(radius_x, radius_y)
 
     # Pixel-space mean: u = f x/z + (S-1)/2  (ndc2Pix convention).
     center = 0.5 * (S - 1)
@@ -204,4 +225,6 @@ def project_gaussians(
         color=color,
         opacity=opacity,
         valid=valid,
+        radius_x=radius_x,
+        radius_y=radius_y,
     )

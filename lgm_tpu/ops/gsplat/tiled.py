@@ -69,10 +69,23 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _tile_bboxes(mean2d, radius, tile_h, tile_w, tiles_y, tiles_x):
     """Inclusive-exclusive tile ranges covered by each splat's 3σ box."""
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_w), 0, tiles_x)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_w) + 1, 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_h), 0, tiles_y)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_h) + 1, 0, tiles_y)
+    return _tile_bboxes_xy(
+        mean2d, radius, radius, tile_h, tile_w, tiles_y, tiles_x
+    )
+
+
+def _tile_bboxes_xy(mean2d, radius_x, radius_y, tile_h, tile_w,
+                    tiles_y, tiles_x):
+    """Inclusive-exclusive tile ranges for per-axis extents (the exact
+    AABB of the visibility ellipse, projection.py radius_x/radius_y)."""
+    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius_x) / tile_w), 0, tiles_x)
+    x1 = jnp.clip(
+        jnp.floor((mean2d[:, 0] + radius_x) / tile_w) + 1, 0, tiles_x
+    )
+    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius_y) / tile_h), 0, tiles_y)
+    y1 = jnp.clip(
+        jnp.floor((mean2d[:, 1] + radius_y) / tile_h) + 1, 0, tiles_y
+    )
     return (x0.astype(jnp.int32), x1.astype(jnp.int32),
             y0.astype(jnp.int32), y1.astype(jnp.int32))
 

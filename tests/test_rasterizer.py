@@ -50,8 +50,15 @@ def test_projection_center():
     np.testing.assert_allclose(
         np.asarray(proj.conic[0]), [1 / v, 0, 1 / v], rtol=1e-4, atol=1e-5
     )
+    # Opacity-aware exact AABB radius: per axis r = ceil(sqrt(tau * Sigma_ii))
+    # with tau = 2 ln(op/ALPHA_MIN); isotropic here, so both axes give
+    # sqrt(tau * v).
+    tau = 2 * (np.log(0.9) - np.log(1.0 / 255.0))
     np.testing.assert_allclose(
-        float(proj.radius[0]), np.ceil(3 * np.sqrt(v)), atol=1e-5
+        float(proj.radius[0]), np.ceil(np.sqrt(tau * v)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(proj.radius_x[0]), np.ceil(np.sqrt(tau * v)), atol=1e-5
     )
 
 

@@ -58,6 +58,35 @@ def test_flatsort_dup_overflow_drops_tiles():
     assert np.isfinite(np.asarray(out["image"])).all()
 
 
+def test_flatsort_anisotropic_matches_reference():
+    """Regression: isotropic splats whose exact ellipse AABB spans more
+    bbox cells than `dup` used to lose visible tiles to the row-major
+    duplicate cap (max error 0.30); live-cell compaction over 2*dup
+    conic-culled candidates keeps them."""
+    n = 300
+    rng = np.random.default_rng(21)
+    g = np.zeros((n, 14), np.float32)
+    g[:, 0:3] = rng.normal(0, 0.3, (n, 3))
+    g[:, 3] = rng.uniform(0.05, 1.0, n)
+    g[:, 4:7] = rng.uniform(0.002, 0.08, (n, 3))
+    # Highly anisotropic needles: huge per-axis AABB asymmetry.
+    g[:60, 4] = rng.uniform(0.1, 0.3, 60)
+    g[:60, 5:7] = 0.002
+    q = rng.normal(0, 1, (n, 4))
+    g[:, 7:11] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    g[:, 11:14] = rng.uniform(0, 1, (n, 3))
+    gj, view = jnp.asarray(g), view_of()
+    bg = jnp.zeros(3)
+    S = 128
+    ref = render_reference(gj, view, S, TAN, bg)
+    fla = render_flatsort(gj, view, S, TAN, bg, tile_h=32, tile_w=32,
+                          dup=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(fla["image"]),
+                               np.asarray(ref["image"]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fla["alpha"]),
+                               np.asarray(ref["alpha"]), atol=5e-3)
+
+
 def test_flatsort_grad_matches_reference():
     g, view = scene(60, seed=11), view_of()
     bg = jnp.asarray([0.2, 0.4, 0.6])

@@ -591,21 +591,27 @@ def render_views_flatsort(
     max_per_tile: int = 1024,
     interpret: bool = False,
 ):
-    """All [B, V] views, sequential lax.map with rematerialization."""
+    """All [B, V] views, sequential lax.map with rematerialization.
+
+    The map runs over (scene index, view, bg); each body step slices its
+    scene's Gaussians out of the closed-over [B, N, 14] array — repeating
+    the Gaussians V-fold up front would write B*V*N*14 floats of HBM
+    (235 MB at the big preset) before rendering starts."""
     B, V = cam_view.shape[:2]
-    g_flat = jnp.repeat(gaussians, V, axis=0)
+    sidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), V)
     v_flat = cam_view.reshape(B * V, 4, 4)
     bg_flat = bg.reshape(B * V, 3)
 
     @jax.checkpoint
     def one(args):
-        g, v, b = args
+        i, v, b = args
+        g = jax.lax.dynamic_index_in_dim(gaussians, i, 0, keepdims=False)
         return render_flatsort(
             g, v, image_size, tan_half_fov, b, scale_modifier,
             tile_h, tile_w, dup, max_per_tile, interpret,
         )
 
-    out = jax.lax.map(one, (g_flat, v_flat, bg_flat))
+    out = jax.lax.map(one, (sidx, v_flat, bg_flat))
     return {
         "image": out["image"].reshape(B, V, image_size, image_size, 3),
         "alpha": out["alpha"].reshape(B, V, image_size, image_size),

@@ -38,8 +38,12 @@ def activate_gaussians(x: jnp.ndarray) -> jnp.ndarray:
     opacity = jax.nn.sigmoid(x[..., 3:4])
     scale = 0.1 * jax.nn.softplus(x[..., 4:7])
     rot = x[..., 7:11]
-    rot = rot / jnp.maximum(
-        jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8
+    # NaN-safe normalization: jnp.linalg.norm's gradient at exactly 0 is
+    # NaN (0/0), and rot IS exactly 0 under zero input with the zero-init
+    # output bias — the smoothed norm keeps fwd parity (differs only
+    # below 1e-8) with a finite gradient everywhere.
+    rot = rot * jax.lax.rsqrt(
+        jnp.sum(rot * rot, axis=-1, keepdims=True) + 1e-16
     )
     rgb = 0.5 * jnp.tanh(x[..., 11:14]) + 0.5
     return jnp.concatenate([pos, opacity, scale, rot, rgb], axis=-1)

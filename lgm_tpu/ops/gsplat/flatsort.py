@@ -58,8 +58,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Residuals tagged with this name survive the per-view jax.checkpoint in
+# render_views_flatsort (see render_flatsort's checkpoint seam comment).
+CKPT_NAME = "gsplat_binned"
 
 from lgm_tpu.ops.gsplat.projection import (
     ALPHA_MAX,
@@ -536,6 +541,16 @@ def render_flatsort(
         jax.tree.map(jax.lax.stop_gradient, proj),
         tiles_y, tiles_x, tile_h, tile_w, dup, max_per_tile,
     )
+    # Checkpoint seam: when the per-view render is wrapped in
+    # jax.checkpoint(..., policy=save_only_these_names(CKPT_NAME)) (as
+    # render_views_flatsort does), these four buffers (~10 MB/view) are
+    # the saved residuals, and the backward's replay DCEs the whole
+    # binning pipeline — the depth argsorts, the [N, 2D] candidate
+    # compaction sort, the [N*D] flat sort, and the slot gather
+    # (measured 3.4 ms of the 4.9 ms forward @512/65k).
+    fr = checkpoint_name(meta.flat_rank, CKPT_NAME)
+    counts = checkpoint_name(meta.counts, CKPT_NAME)
+    inv_perm = checkpoint_name(meta.rank, CKPT_NAME)
 
     # Per-gaussian attributes, reordered to depth-rank rows (+ zero pad
     # row), then gathered per slot by rank.
@@ -543,9 +558,9 @@ def render_flatsort(
         [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color],
         axis=1,
     )  # [N, 9]
-    attrs = _permute_rows(attrs, meta.order, meta.rank)
+    attrs = _permute_rows(attrs, meta.order, inv_perm)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
-    a = _gather_entries(attrs, meta.flat_rank)
+    a = checkpoint_name(_gather_entries(attrs, fr), CKPT_NAME)
 
     # Tile-local coefficient construction (elementwise, autodiff).
     torig_x = (meta.slot_tile % tiles_x).astype(jnp.float32) * tile_w
@@ -554,7 +569,7 @@ def render_flatsort(
     my = a[:, 1] - torig_y
     A, B, C = a[:, 2], a[:, 3], a[:, 4]
     op = a[:, 5]
-    ones = jnp.where(meta.flat_rank < N, 1.0, 0.0)
+    ones = jnp.where(fr < N, 1.0, 0.0)
     zeros = jnp.zeros_like(op)
     rows = [
         -0.5 * A, -0.5 * C, -B,
@@ -569,7 +584,7 @@ def render_flatsort(
     )  # [T, NC, 16, G]
 
     pf = _pixel_features_t(tile_h, tile_w)
-    out = _composite_flat(params, meta.counts, pf, interpret)
+    out = _composite_flat(params, counts, pf, interpret)
 
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     out = out.transpose(0, 3, 1, 4, 2).reshape(S, S, 8)
@@ -602,7 +617,10 @@ def render_views_flatsort(
     v_flat = cam_view.reshape(B * V, 4, 4)
     bg_flat = bg.reshape(B * V, 3)
 
-    @jax.checkpoint
+    @functools.partial(
+        jax.checkpoint,
+        policy=jax.checkpoint_policies.save_only_these_names(CKPT_NAME),
+    )
     def one(args):
         i, v, b = args
         g = jax.lax.dynamic_index_in_dim(gaussians, i, 0, keepdims=False)

@@ -61,7 +61,12 @@ def main():
     p.add_argument("--preset", default="big")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--stages", default="all",
+                   help="comma list: unet,raster,lpips,loss,step")
     args = p.parse_args()
+    stages = set(args.stages.split(","))
+    def want(name):
+        return "all" in stages or name in stages
 
     import jax
     import jax.numpy as jnp
@@ -99,8 +104,9 @@ def main():
         g = lgm.apply(lgm_params, x)
         return jnp.sum(g)
 
-    results["unet fwd"] = chained(jax, jnp, lgm_fwd, batch["input"], it,
-                                  overhead)
+    if want("unet"):
+        results["unet fwd"] = chained(jax, jnp, lgm_fwd, batch["input"],
+                                      it, overhead)
 
     # --- 2. LGM (U-Net) fwd+bwd ------------------------------------------
     def lgm_fwdbwd(x):
@@ -110,16 +116,30 @@ def main():
         l, gr = jax.value_and_grad(loss)(lgm_params["params"])
         return l + sum(jnp.sum(g) for g in jax.tree.leaves(gr))
 
-    results["unet fwd+bwd"] = chained(jax, jnp, lgm_fwdbwd, batch["input"],
-                                      it, overhead)
+    if want("unet"):
+        results["unet fwd+bwd"] = chained(jax, jnp, lgm_fwdbwd,
+                                          batch["input"], it, overhead)
 
     # --- 3. rasterizer all B*V views fwd ---------------------------------
     from lgm_tpu.ops.gsplat import render_views
 
     tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
-    g0 = jax.jit(lambda x: lgm.apply(lgm_params, x).astype(jnp.float32))(
-        batch["input"]
-    )
+    if want("unet"):
+        g0 = jax.jit(
+            lambda x: lgm.apply(lgm_params, x).astype(jnp.float32)
+        )(batch["input"])
+    else:
+        # Raster-only runs skip the (slow-to-compile) U-Net: a bench-style
+        # random scene at the same Gaussian count stands in.
+        from lgm_tpu.models.lgm import activate_gaussians
+
+        raw = jax.random.normal(
+            jax.random.PRNGKey(3),
+            (batch["cam_view"].shape[0], opt.num_gaussians, 14),
+        )
+        g0 = activate_gaussians(raw).astype(jnp.float32)
+        g0 = g0.at[..., 0:3].mul(0.35)
+        g0 = g0.at[..., 4:7].mul(0.25)
     B, V = batch["cam_view"].shape[:2]
     bgv = jnp.broadcast_to(bg, (B, V, 3))
 
@@ -128,18 +148,20 @@ def main():
                          bg_color=bgv)
         return jnp.sum(o["image"]) + jnp.sum(o["alpha"])
 
-    results[f"raster {B * V}v fwd"] = chained(jax, jnp, rast_fwd, g0, it,
-                                              overhead)
+    if want("raster"):
+        results[f"raster {B * V}v fwd"] = chained(jax, jnp, rast_fwd, g0,
+                                                  it, overhead)
 
     def rast_fwdbwd(gg):
         l, gr = jax.value_and_grad(rast_fwd)(gg)
         return l + jnp.sum(gr)
 
-    results[f"raster {B * V}v fwd+bwd"] = chained(jax, jnp, rast_fwdbwd, g0,
-                                                  it, overhead)
+    if want("raster"):
+        results[f"raster {B * V}v fwd+bwd"] = chained(
+            jax, jnp, rast_fwdbwd, g0, it, overhead)
 
     # --- 4. LPIPS fwd+bwd on the supervision stack ------------------------
-    if opt.lambda_lpips > 0:
+    if opt.lambda_lpips > 0 and want("lpips"):
         from lgm_tpu.models.lgm import _resize_to_256
         from lgm_tpu.models.lpips import LPIPS
 
@@ -173,30 +195,33 @@ def main():
         l, gr = jax.value_and_grad(loss)(pp)
         return l + sum(jnp.sum(g) for g in jax.tree.leaves(gr))
 
-    results["full loss fwd+bwd"] = chained(jax, jnp, full_fwdbwd, params,
-                                           it, overhead)
+    if want("loss"):
+        results["full loss fwd+bwd"] = chained(jax, jnp, full_fwdbwd,
+                                               params, it, overhead)
 
     # --- 6. full train step (loss + optimizer) ----------------------------
-    state = TrainState.create(apply_fn=model.apply, params=params,
-                              tx=make_optimizer(opt))
-    key = jax.random.PRNGKey(1)
+    if want("step"):
+        state = TrainState.create(apply_fn=model.apply, params=params,
+                                  tx=make_optimizer(opt))
+        key = jax.random.PRNGKey(1)
 
-    @jax.jit
-    def rep_step(st):
-        def body(i, carry):
-            st, acc = carry
-            st, m = train_step(st, batch, jax.random.fold_in(key, i))
-            return (st, acc + m["loss"])
+        @jax.jit
+        def rep_step(st):
+            def body(i, carry):
+                st, acc = carry
+                st, m = train_step(st, batch, jax.random.fold_in(key, i))
+                return (st, acc + m["loss"])
 
-        return jax.lax.fori_loop(0, it, body, (st, 0.0))[1]
+            return jax.lax.fori_loop(0, it, body, (st, 0.0))[1]
 
-    float(rep_step(state))
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
         float(rep_step(state))
-        ts.append(time.time() - t0)
-    results["train step (loss+opt)"] = max((min(ts) - overhead) / it, 1e-9)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            float(rep_step(state))
+            ts.append(time.time() - t0)
+        results["train step (loss+opt)"] = max(
+            (min(ts) - overhead) / it, 1e-9)
 
     for k, v in results.items():
         print(f"{k:26s} {v*1e3:9.2f} ms  ({1/v:7.2f}/s)")

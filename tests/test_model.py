@@ -55,6 +55,15 @@ def test_activations():
     assert ((g[:, 11:14] >= 0) & (g[:, 11:14] <= 1)).all()  # rgb
 
 
+def test_activations_grad_finite_at_zero():
+    """Regression: the quaternion normalization must have a finite
+    gradient at rot == 0 exactly (zero input + zero-init output bias hits
+    it; jnp.linalg.norm's grad there is NaN)."""
+    x = jnp.zeros((3, 14), jnp.float32)
+    g = jax.grad(lambda y: jnp.sum(activate_gaussians(y) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_lgm_forward_gaussians_shape():
     opt = get_config("nano")
     model = LGM(opt)

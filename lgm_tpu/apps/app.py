@@ -31,6 +31,23 @@ import numpy as np
 from lgm_tpu.config import CONFIGS, Options
 
 
+def _carve(image: np.ndarray) -> Optional[np.ndarray]:
+    """[H, W, 3|4] float RGB(A) in [0,1] -> [H, W, 4] RGBA with the
+    foreground carved out: rembg when importable, else the image's own
+    alpha; None when neither provides a mask."""
+    try:
+        import rembg
+
+        out = rembg.remove(
+            (np.clip(image[..., :3], 0, 1) * 255).astype(np.uint8)
+        )
+        return np.asarray(out, np.float32) / 255.0
+    except ImportError:
+        if image.shape[-1] == 4:
+            return image.astype(np.float32)
+        return None
+
+
 class AppState:
     def __init__(self, opt: Options, resume: Optional[str],
                  diffusion_ckpt: Optional[str]):
@@ -44,24 +61,36 @@ class AppState:
             self.pipe = MVDreamPipeline.from_pretrained(diffusion_ckpt)
 
     def run_mv(self, mv_images: np.ndarray, name: str):
-        """mv_images [4, H, W, 3] in [0,1] -> (grid, ply_path, mp4_path)."""
+        """mv_images [4, H, W, 3] in [0,1] -> (grid, ply_path, mp4_path).
+        Grid is the reference's 2x2 preview layout (ref: app.py:109-112)."""
         from lgm_tpu.infer import process
+        from lgm_tpu.utils.image import mv_grid_2x2
 
         stem = os.path.join(self.workdir, name)
         process(self.opt, mv_images, stem, resume=self.resume)
-        grid = np.concatenate(list(mv_images), axis=1)
-        return grid, stem + ".ply", stem + ".mp4"
+        return mv_grid_2x2(mv_images), stem + ".ply", stem + ".mp4"
 
     def run_image(self, image: np.ndarray, prompt: str = "",
-                  elevation: float = 0.0, steps: int = 30,
-                  guidance: float = 5.0, seed: int = 0, name: str = "out"):
+                  negative_prompt: str = "", elevation: float = 0.0,
+                  steps: int = 30, guidance: float = 5.0, seed: int = 0,
+                  name: str = "out"):
         assert self.pipe is not None, (
             "diffusion front-end not loaded; pass --diffusion-ckpt or "
             "use the four-view input"
         )
         import cv2
 
-        mv = self.pipe(prompt=prompt, image=image, elevation=elevation,
+        from lgm_tpu.utils.image import recenter, rgba_to_rgb_white
+
+        # rembg carve + recenter like the reference image path
+        # (ref: app.py:100-106); fall back to the image's own alpha.
+        rgba = _carve(image)
+        if rgba is not None:
+            rgba = recenter(rgba, rgba[..., 3] > 0, border_ratio=0.2)
+            image = rgba_to_rgb_white(rgba)
+        mv = self.pipe(prompt=prompt, image=image,
+                       negative_prompt=negative_prompt,
+                       elevation=elevation,
                        num_inference_steps=steps, guidance_scale=guidance,
                        seed=seed)
         mv = mv[[1, 2, 3, 0]]  # reference view order (ref: infer.py:92)
@@ -71,18 +100,32 @@ class AppState:
         ])
         return self.run_mv(mv, name)
 
-    def run_text(self, prompt: str, elevation: float = 0.0,
-                 steps: int = 30, guidance: float = 7.5, seed: int = 0,
-                 name: str = "out"):
+    def run_text(self, prompt: str, negative_prompt: str = "",
+                 elevation: float = 0.0, steps: int = 30,
+                 guidance: float = 7.5, seed: int = 0, name: str = "out"):
         assert self.pipe is not None
         import cv2
 
-        mv = self.pipe(prompt=prompt, image=None, elevation=elevation,
+        from lgm_tpu.utils.image import recenter, rgba_to_rgb_white
+
+        mv = self.pipe(prompt=prompt, image=None,
+                       negative_prompt=negative_prompt,
+                       elevation=elevation,
                        num_inference_steps=steps, guidance_scale=guidance,
                        seed=seed)
+        # Per-view bg cleanup on the text path (ref: app.py:89-97):
+        # carve each generated view, recenter, composite on white.
+        cleaned = []
+        for v in mv[:4]:
+            rgba = _carve(v)
+            if rgba is None:
+                cleaned.append(v)
+                continue
+            rgba = recenter(rgba, rgba[..., 3] > 0, border_ratio=0.2)
+            cleaned.append(rgba_to_rgb_white(rgba))
         mv = np.stack([
             cv2.resize(m, (self.opt.input_size, self.opt.input_size))
-            for m in mv
+            for m in cleaned
         ])
         return self.run_mv(mv, name)
 
@@ -90,16 +133,18 @@ class AppState:
 def launch_gradio(state: AppState, port: int):
     import gradio as gr
 
-    def go_image(img, elevation, steps, seed):
+    def go_image(img, neg, elevation, steps, seed):
         img = np.asarray(img, np.float32) / 255.0
         grid, ply, mp4 = state.run_image(
-            img, elevation=elevation, steps=int(steps), seed=int(seed)
+            img, negative_prompt=neg or "", elevation=elevation,
+            steps=int(steps), seed=int(seed)
         )
         return (grid * 255).astype(np.uint8), mp4, ply
 
-    def go_text(prompt, elevation, steps, seed):
+    def go_text(prompt, neg, elevation, steps, seed):
         grid, ply, mp4 = state.run_text(
-            prompt, elevation=elevation, steps=int(steps), seed=int(seed)
+            prompt, negative_prompt=neg or "", elevation=elevation,
+            steps=int(steps), seed=int(seed)
         )
         return (grid * 255).astype(np.uint8), mp4, ply
 
@@ -107,6 +152,7 @@ def launch_gradio(state: AppState, port: int):
         gr.Markdown("# LGM-TPU: image/text -> 3D Gaussians")
         with gr.Tab("image"):
             inp = gr.Image(label="input image")
+            ng = gr.Textbox("", label="negative prompt")
             el = gr.Slider(-30, 30, 0, label="elevation")
             st = gr.Slider(10, 100, 30, step=1, label="steps")
             sd = gr.Number(0, label="seed")
@@ -114,9 +160,10 @@ def launch_gradio(state: AppState, port: int):
             grid = gr.Image(label="multi-view")
             vid = gr.Video(label="orbit video")
             ply = gr.File(label="ply")
-            btn.click(go_image, [inp, el, st, sd], [grid, vid, ply])
+            btn.click(go_image, [inp, ng, el, st, sd], [grid, vid, ply])
         with gr.Tab("text"):
             pr = gr.Textbox(label="prompt")
+            ng2 = gr.Textbox("", label="negative prompt")
             el2 = gr.Slider(-30, 30, 0, label="elevation")
             st2 = gr.Slider(10, 100, 30, step=1, label="steps")
             sd2 = gr.Number(0, label="seed")
@@ -124,7 +171,8 @@ def launch_gradio(state: AppState, port: int):
             grid2 = gr.Image(label="multi-view")
             vid2 = gr.Video(label="orbit video")
             ply2 = gr.File(label="ply")
-            btn2.click(go_text, [pr, el2, st2, sd2], [grid2, vid2, ply2])
+            btn2.click(go_text, [pr, ng2, el2, st2, sd2],
+                       [grid2, vid2, ply2])
     demo.queue().launch(server_port=port, server_name="0.0.0.0")
 
 

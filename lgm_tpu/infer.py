@@ -229,14 +229,22 @@ def main(argv=None):
     else:
         assert ns.image, "need --image or --mv-images"
         from lgm_tpu.diffusion import MVDreamPipeline
+        from lgm_tpu.utils.image import recenter, rgba_to_rgb_white
 
         rgba = remove_background(ns.image)
         if rgba is None:
-            img = _load_rgba(ns.image, 256)
+            import cv2
+
+            raw = cv2.imread(ns.image, cv2.IMREAD_UNCHANGED)
+            assert raw is not None, f"cannot read {ns.image}"
+            rgba = raw.astype(np.float32) / 255.0
+        if rgba.shape[-1] == 4:
+            # BGRA -> RGBA; recenter on the carved mask (ref: infer.py:81-82)
+            rgba = rgba[..., [2, 1, 0, 3]]
+            rgba = recenter(rgba, rgba[..., 3] > 0, border_ratio=0.2)
+            img = rgba_to_rgb_white(rgba)
         else:
-            rgb = rgba[..., [2, 1, 0]]
-            a = rgba[..., 3:4]
-            img = rgb * a + (1 - a)
+            img = rgba[..., [2, 1, 0]]
         pipe = MVDreamPipeline.from_pretrained(ns.diffusion_ckpt)
         mv = pipe(
             image=img, prompt="", elevation=ns.elevation,

@@ -193,3 +193,37 @@ def test_infer_orbit_video(tmp_path):
     assert video.shape == (8, opt.output_size, opt.output_size, 3)
     # Frames differ (the orbit moves).
     assert np.abs(video[0].astype(int) - video[4].astype(int)).max() > 10
+
+
+def test_recenter_centers_and_scales():
+    from lgm_tpu.utils.image import mv_grid_2x2, recenter, rgba_to_rgb_white
+
+    # Off-center 10x20 foreground block in a 64x48 image.
+    img = np.zeros((64, 48, 4), np.float32)
+    img[2:12, 3:23, :3] = 0.5
+    img[2:12, 3:23, 3] = 1.0
+    out = recenter(img, img[..., 3] > 0, border_ratio=0.2)
+    assert out.shape == (64, 64, 4)
+    ys, xs = np.nonzero(out[..., 3] > 0)
+    h, w = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+    # Longer side fills ~(1 - border) of the canvas, aspect preserved.
+    assert abs(w - int(64 * 0.8)) <= 2
+    assert abs(h / w - 10 / 20) < 0.1
+    # Centered within a pixel of rounding.
+    assert abs((ys.max() + ys.min()) / 2 - 31.5) <= 1.5
+    assert abs((xs.max() + xs.min()) / 2 - 31.5) <= 1.5
+
+    # Empty mask: pass-through into the square canvas.
+    empty = recenter(img, np.zeros((64, 48), bool))
+    np.testing.assert_array_equal(empty[:64, :48], img)
+
+    # White compositing: bg -> 1, fg keeps color.
+    rgb = rgba_to_rgb_white(out)
+    assert rgb.shape == (64, 64, 3)
+    assert rgb[0, 0, 0] == 1.0
+
+    grid = mv_grid_2x2(np.stack([np.full((4, 4, 3), i, np.float32)
+                                 for i in range(4)]))
+    assert grid.shape == (8, 8, 3)
+    assert grid[0, 0, 0] == 1 and grid[0, 7, 0] == 2
+    assert grid[7, 0, 0] == 3 and grid[7, 7, 0] == 0

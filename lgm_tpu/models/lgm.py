@@ -154,7 +154,9 @@ class LGMWithLoss(nn.Module):
             # reference excludes them from training and checkpoints,
             # core/models.py:46-58); achieved here via stop_gradient on
             # the param tree at the train-step level (mask in optimizer).
-            loss_lpips = jnp.mean(LPIPS(name="lpips_loss")(gt, pr))
+            loss_lpips = jnp.mean(
+                LPIPS(dtype=self.dtype, name="lpips_loss")(gt, pr)
+            )
             out["loss_lpips"] = loss_lpips
             loss = loss + opt.lambda_lpips * loss_lpips
 

@@ -93,6 +93,13 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for si, (xa, xb) in enumerate(zip(fa, fb)):
+            # Tap normalization and diffs in f32 regardless of the conv
+            # compute dtype (the unit-normalize ratio is precision
+            # sensitive; the conv tower itself is fine in bf16 — the
+            # reference runs it under Accelerate bf16 autocast,
+            # main.py:18-22).
+            xa = xa.astype(jnp.float32)
+            xb = xb.astype(jnp.float32)
             na = xa / jnp.sqrt(
                 jnp.sum(xa * xa, axis=-1, keepdims=True) + 1e-10
             )

@@ -355,7 +355,6 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
     T_final = fo[4:5, :]
     gT = go[4:5, :]
     U_total = jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)  # [1, P]
-    ones_p = jnp.ones((1, P), jnp.float32)
 
     for k in range(NC):
         live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
@@ -398,12 +397,12 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # [8, G]
-            e = jnp.where(active & unclamped, jnp.exp(power), 0.0)
-            dop = jax.lax.dot_general(
-                ones_p, dalpha * e,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # [1, G]
+            # dL/d(op) = sum_p dalpha*e = sum_p dpower / op (alpha = op*e
+            # wherever dpower != 0), and sum_p dpower is dcoef's constant-
+            # feature row (pf row 5 == 1) — no extra K=P matmul needed.
+            # Dead slots have op == 0 and dcoef[5] == 0; the max() guard
+            # keeps that 0/0 at zero.
+            dop = dcoef[5:6] / jnp.maximum(blk[6:7], 1e-12)  # [1, G]
             dcol = jax.lax.dot_general(
                 go, w,
                 dimension_numbers=(((1,), (1,)), ((), ())),

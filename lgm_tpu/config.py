@@ -59,6 +59,10 @@ class Options:
     warmup_steps: int = 3000
     total_steps: int = 30_000    # schedule horizon (epochs x steps/epoch)
 
+    # Rematerialize U-Net blocks on backward (keeps activation memory
+    # within a 16 GB chip at reference batch sizes; see models/unet.py).
+    unet_remat: bool = True
+
     # --- rasterizer ------------------------------------------------------
     # Pallas tile size in pixels (rows x cols); cols aligned to TPU lanes.
     tile_h: int = 32
@@ -71,6 +75,10 @@ class Options:
     # --- testing / inference --------------------------------------------
     test_path: Optional[str] = None
     fancy_video: bool = False
+
+    # Capture an XLA profiler trace (viewable in TensorBoard/Perfetto) of
+    # steps [10, 10 + profile_steps) into <workspace>/trace. 0 = off.
+    profile_steps: int = 0
 
     # --- data ------------------------------------------------------------
     data_mode: str = "synthetic"  # synthetic | objaverse | lvis

@@ -17,7 +17,7 @@ core/gs.py:42-51).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -70,6 +70,7 @@ class LGM(nn.Module):
             up_channels=self.opt.up_channels,
             up_attention=self.opt.up_attention,
             dtype=self.dtype,
+            remat=self.opt.unet_remat,
             name="unet",
         )(x)
         # Final 1x1 conv kept for reference-checkpoint parity
@@ -94,6 +95,39 @@ def _resize_to_256(x: jnp.ndarray) -> jnp.ndarray:
     if s <= 256:
         return x
     return jax.image.resize(x, (n, 256, 256, 3), method="bilinear")
+
+
+def _to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, V, S, S, 3] -> [B*V, 3, S, S]: transpose first, then a
+    channel-major reshape (a bitcast) — see the layout note in
+    LGMWithLoss."""
+    B, V, S = x.shape[0], x.shape[1], x.shape[2]
+    return x.transpose(0, 1, 4, 2, 3).reshape(B * V, 3, S, S)
+
+
+def _resize_nchw_256(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3, S, S] -> [N, 3, 256, 256] bilinear (pass-through if
+    S <= 256)."""
+    n, s = x.shape[0], x.shape[2]
+    if s <= 256:
+        return x
+    return jax.image.resize(x, (n, 3, 256, 256), method="bilinear")
+
+
+class _LPIPSScanBody(nn.Module):
+    """nn.scan body: one LPIPS chunk per step. The inner module is named
+    ``m``, so the LPIPS params live at <parent>/lpips_loss/m/..."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, ab):
+        # Chunks arrive NCHW (clean layout for the scan xs buffers); the
+        # small per-chunk NHWC transpose happens here, inside the remat.
+        a, b = ab
+        a = a.transpose(0, 2, 3, 1)
+        b = b.transpose(0, 2, 3, 1)
+        return carry, LPIPS(dtype=self.dtype, name="m")(a, b)
 
 
 class LGMWithLoss(nn.Module):
@@ -147,16 +181,41 @@ class LGMWithLoss(nn.Module):
         }
 
         if opt.lambda_lpips > 0:
-            S = opt.output_size
-            pr = _resize_to_256(pred_images.reshape(-1, S, S, 3) * 2 - 1)
-            gt = _resize_to_256(gt_images.reshape(-1, S, S, 3) * 2 - 1)
             # LPIPS is frozen: no gradient flows into its parameters (the
             # reference excludes them from training and checkpoints,
             # core/models.py:46-58); achieved here via stop_gradient on
             # the param tree at the train-step level (mask in optimizer).
-            loss_lpips = jnp.mean(
-                LPIPS(dtype=self.dtype, name="lpips_loss")(gt, pr)
-            )
+            #
+            # Memory, two constraints shape this block:
+            # 1. The VGG tower on all B*V pairs at once holds ~6 GB of
+            #    activations at the small preset (96 pairs) — so the
+            #    module runs as a sequential nn.scan over chunks with
+            #    remat inside; at most one chunk's VGG transients are
+            #    live at a time. (A plain unrolled loop is NOT enough:
+            #    XLA's scheduler overlaps the chunks and the peak comes
+            #    right back.)
+            # 2. All reshapes happen in channel-major (NCHW) form: a
+            #    jnp.reshape of a channels-minor image canonicalizes to
+            #    a row-major layout, which the TPU stores (8,128)-tiled
+            #    over the 3-wide minor dim — a 42x padding blow-up on
+            #    every such buffer (measured: single 1.5 GB copies).
+            #    Each scan step transposes its small chunk back to NHWC.
+            pr = _resize_nchw_256(_to_nchw(pred_images) * 2 - 1)
+            gt = _resize_nchw_256(_to_nchw(gt_images) * 2 - 1)
+            n = pr.shape[0]
+            chunk = next(c for c in (4, 2, 1) if n % c == 0)
+            gt_c = gt.astype(self.dtype).reshape(n // chunk, chunk,
+                                                 *gt.shape[1:])
+            pr_c = pr.astype(self.dtype).reshape(n // chunk, chunk,
+                                                 *pr.shape[1:])
+            scanned = nn.scan(
+                nn.remat(_LPIPSScanBody, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )(dtype=self.dtype, name="lpips_loss")
+            _, vals = scanned(0.0, (gt_c, pr_c))
+            loss_lpips = jnp.mean(vals)
             out["loss_lpips"] = loss_lpips
             loss = loss + opt.lambda_lpips * loss_lpips
 

@@ -34,6 +34,33 @@ def _group_norm(x, name=None):
     )(x)
 
 
+def _attention(q, k, v):
+    """Self-attention over [B, S, heads, D], scaled by 1/sqrt(D).
+
+    On TPU at the long sequence lengths of the coarse U-Net levels
+    (S = V*32² = 4096), XLA's dense dot_product_attention materializes
+    the [B, heads, S, S] logits — 8.6 GB transient at the reference
+    batch size, more than a v5e chip's HBM. The Pallas flash kernel
+    (O(S) memory, custom VJP) takes that path; short sequences and
+    non-TPU backends keep the dense path (verified grad cosine
+    > 0.99995 between the two on chip).
+    """
+    S, D = q.shape[1], q.shape[3]
+    if jax.default_backend() == "tpu" and S >= 1024 and S % 512 == 0:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            sm_scale=float(D) ** -0.5,
+        )
+        return o.transpose(0, 2, 1, 3)
+    return jax.nn.dot_product_attention(q, k, v)
+
+
 class MVAttention(nn.Module):
     """Cross-view self-attention: [B*V, H, W, C] -> attention over V·H·W.
 
@@ -62,7 +89,7 @@ class MVAttention(nn.Module):
         q = q.reshape(B, V * H * W, self.num_heads, hd)
         k = k.reshape(B, V * H * W, self.num_heads, hd)
         v = v.reshape(B, V * H * W, self.num_heads, hd)
-        o = jax.nn.dot_product_attention(q, k, v)
+        o = _attention(q, k, v)
         o = o.reshape(B, V * H * W, C)
         o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
 
@@ -193,16 +220,29 @@ class UNet(nn.Module):
     layers_per_block: int = 2
     skip_scale: float = float(np.sqrt(0.5))
     dtype: Any = jnp.bfloat16
+    # Rematerialize each block in the backward pass: residuals are kept
+    # only at block boundaries (the structural skip tensors), not per
+    # conv. Without this, a reference-scale batch (8 scenes x 4 views
+    # @256²) keeps ~25 GB of conv activations — more HBM than a v5e
+    # chip has. Costs ~1/3 extra U-Net forward FLOPs on backward; the
+    # U-Net is a minor share of the train step (BENCHMARKS.md).
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x):
+        if self.remat:
+            Down = nn.remat(DownBlock, prevent_cse=False)
+            Mid = nn.remat(MidBlock, prevent_cse=False)
+            Up = nn.remat(UpBlock, prevent_cse=False)
+        else:
+            Down, Mid, Up = DownBlock, MidBlock, UpBlock
         x = x.astype(self.dtype)
         x = nn.Conv(self.down_channels[0], (3, 3), dtype=self.dtype,
                     name="conv_in")(x)
 
         xss = [x]
         for i, ch in enumerate(self.down_channels):
-            x, skips = DownBlock(
+            x, skips = Down(
                 ch, self.num_views,
                 num_layers=self.layers_per_block,
                 downsample=(i != len(self.down_channels) - 1),
@@ -213,7 +253,7 @@ class UNet(nn.Module):
             )(x)
             xss.extend(skips)
 
-        x = MidBlock(
+        x = Mid(
             self.down_channels[-1], self.num_views,
             attention=self.mid_attention, skip_scale=self.skip_scale,
             dtype=self.dtype, name="mid",
@@ -223,7 +263,7 @@ class UNet(nn.Module):
             n_skips = self.layers_per_block + 1
             skips = xss[-n_skips:]
             xss = xss[:-n_skips]
-            x = UpBlock(
+            x = Up(
                 ch, self.num_views,
                 num_layers=n_skips,
                 upsample=(i != len(self.up_channels) - 1),

@@ -522,9 +522,14 @@ def render_flatsort(
     dup: int = 16,
     max_per_tile: int = 1024,
     interpret: bool = False,
+    channels_first: bool = False,
 ):
     """Render one view via the flat-sort pipeline. Returns
-    dict(image [S, S, 3] unclamped, alpha [S, S])."""
+    dict(image [S, S, 3] unclamped, alpha [S, S]); with
+    ``channels_first`` the image is [3, S, S] — used by the batched path
+    so the lax.map accumulator and remat residuals keep a minor dim of S
+    (a [.., S, S, 3] loop buffer is stored (8,128)-tiled on its 3-wide
+    minor dim, a 42x padding blow-up)."""
     S = image_size
     assert S % tile_h == 0 and S % tile_w == 0
     tiles_y, tiles_x = S // tile_h, S // tile_w
@@ -586,6 +591,11 @@ def render_flatsort(
     out = _composite_flat(params, counts, pf, interpret)
 
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
+    if channels_first:
+        out = out.transpose(2, 0, 3, 1, 4).reshape(8, S, S)
+        rgb, alpha, Tf = out[0:3], out[3], out[4]
+        image = rgb + Tf[None] * bg_color[:, None, None]
+        return {"image": image, "alpha": alpha}
     out = out.transpose(0, 3, 1, 4, 2).reshape(S, S, 8)
     rgb, alpha, Tf = out[..., 0:3], out[..., 3], out[..., 4]
     image = rgb + Tf[..., None] * bg_color[None, None, :]
@@ -626,10 +636,18 @@ def render_views_flatsort(
         return render_flatsort(
             g, v, image_size, tan_half_fov, b, scale_modifier,
             tile_h, tile_w, dup, max_per_tile, interpret,
+            channels_first=True,
         )
 
     out = jax.lax.map(one, (sidx, v_flat, bg_flat))
+    # Reshape while still channels-first (a bitcast), THEN transpose to
+    # NHWC as the very last op: the transpose output can take XLA's
+    # default smart layout (3-dim off-minor). Doing reshape after the
+    # transpose forces a row-major [.., 3]-minor copy — 42x padded on
+    # TPU ((8,128) tiling over a 3-wide minor dim).
+    S = image_size
+    image = out["image"].reshape(B, V, 3, S, S).transpose(0, 1, 3, 4, 2)
     return {
-        "image": out["image"].reshape(B, V, image_size, image_size, 3),
-        "alpha": out["alpha"].reshape(B, V, image_size, image_size),
+        "image": image,
+        "alpha": out["alpha"].reshape(B, V, S, S),
     }

@@ -49,7 +49,11 @@ def make_optimizer(opt: Options) -> optax.GradientTransformation:
     )
     tx = optax.chain(
         optax.clip_by_global_norm(opt.gradient_clip),
-        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.05),
+        # First moment in bf16: halves its HBM (0.8 GB at ~415M params)
+        # with no measurable quality effect; the variance stays f32 (its
+        # dynamic range actually needs it).
+        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.05,
+                    mu_dtype=jnp.bfloat16),
     )
     frozen = optax.set_to_zero()
     label_fn = lambda params: jax.tree_util.tree_map_with_path(
@@ -74,9 +78,10 @@ def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
         from lgm_tpu.models.lpips import load_lpips_params
 
         params = dict(variables["params"])
-        params["lpips_loss"] = load_lpips_params(
-            opt.lpips_weights, params["lpips_loss"]
-        )
+        # LPIPS params live under the scan wrapper: lpips_loss/m/...
+        sub = dict(params["lpips_loss"])
+        sub["m"] = load_lpips_params(opt.lpips_weights, sub["m"])
+        params["lpips_loss"] = sub
         variables = {"params": params}
     state = TrainState.create(
         apply_fn=model.apply,
@@ -240,8 +245,18 @@ def main(argv=None):
     step = int(state.step)
     max_steps = opt.total_steps
     t_last = time.time()
+    # Optional XLA profiler capture (the reference's only profiling is a
+    # GUI frame timer, gui.py:59-104; this gives full device traces).
+    prof_start = 10 if opt.profile_steps > 0 else -1
+    prof_stop = prof_start + opt.profile_steps
     with mesh:
         while step < max_steps:
+            if step == prof_start and is_lead:
+                jax.profiler.start_trace(
+                    os.path.join(opt.workspace, "trace"))
+            if step == prof_stop and is_lead and opt.profile_steps > 0:
+                jax.profiler.stop_trace()
+                print(f"wrote trace to {opt.workspace}/trace")
             batch = train_ds.batch(step)
             data = shard_batch(
                 mesh, {k: v for k, v in batch.items() if k != "scenes"}

@@ -166,7 +166,7 @@ def main():
         from lgm_tpu.models.lpips import LPIPS
 
         lp = LPIPS()
-        lp_params = {"params": params["lpips_loss"]}
+        lp_params = {"params": params["lpips_loss"]["m"]}
         S = opt.output_size
         imgs = jnp.asarray(
             np.random.default_rng(0).uniform(
@@ -205,20 +205,23 @@ def main():
                                   tx=make_optimizer(opt))
         key = jax.random.PRNGKey(1)
 
+        # batch MUST be an argument, not a closed-over constant: XLA
+        # embeds closure constants as literals with padded layouts
+        # (measured 1.5 GB each for [V,B,256,256,3] f32 at 21x padding).
         @jax.jit
-        def rep_step(st):
+        def rep_step(st, data):
             def body(i, carry):
                 st, acc = carry
-                st, m = train_step(st, batch, jax.random.fold_in(key, i))
+                st, m = train_step(st, data, jax.random.fold_in(key, i))
                 return (st, acc + m["loss"])
 
             return jax.lax.fori_loop(0, it, body, (st, 0.0))[1]
 
-        float(rep_step(state))
+        float(rep_step(state, batch))
         ts = []
         for _ in range(3):
             t0 = time.time()
-            float(rep_step(state))
+            float(rep_step(state, batch))
             ts.append(time.time() - t0)
         results["train step (loss+opt)"] = max(
             (min(ts) - overhead) / it, 1e-9)

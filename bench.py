@@ -17,9 +17,18 @@ round trip.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA executable cache: repeat bench runs skip the slow
+# remote compile through the TPU tunnel (~minutes for the Pallas graphs).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache_tpu"),
+)
 
 
 def _build_scene(n, seed=7):

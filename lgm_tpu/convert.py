@@ -96,16 +96,25 @@ class Converter:
 
     def render_gs(self, pose: np.ndarray, size: int):
         """One teacher view: rgb [S, S, 3] on white bg + alpha [S, S]
-        (ref: convert.py:106-120)."""
+        (ref: convert.py:106-120). The render is jitted per size and
+        reused across the hundreds of fit iterations (eager dispatch
+        through the remote-TPU tunnel costs ~1 s/frame)."""
+        import jax
         import jax.numpy as jnp
 
         from lgm_tpu.ops.gsplat import render_views
 
+        if not hasattr(self, "_render_jit"):
+            self._render_jit = {}
+        if size not in self._render_jit:
+            self._render_jit[size] = jax.jit(
+                lambda g, v: render_views(g, v, size, self.tan)
+            )
         cams = camera.build_camera_inputs(pose[None], self.opt.fovy,
                                           self.opt.znear, self.opt.zfar)
-        out = render_views(
+        out = self._render_jit[size](
             jnp.asarray(self.gaussians)[None],
-            jnp.asarray(cams["cam_view"])[None], size, self.tan,
+            jnp.asarray(cams["cam_view"])[None],
         )
         return (np.asarray(out["image"][0, 0]),
                 np.asarray(out["alpha"][0, 0, :, :, 0]),
@@ -229,8 +238,12 @@ class Converter:
         import jax
         import jax.numpy as jnp
 
-        sigma, rgb = self._field.apply(
-            {"params": self.nerf_params}, jnp.asarray(pts, jnp.float32)
+        if not hasattr(self, "_query_jit"):
+            self._query_jit = jax.jit(
+                lambda p, x: self._field.apply({"params": p}, x)
+            )
+        sigma, rgb = self._query_jit(
+            self.nerf_params, jnp.asarray(pts, jnp.float32)
         )
         return np.asarray(sigma), np.asarray(rgb)
 

@@ -196,7 +196,11 @@ class MVDreamPipeline:
         rng = jax.random.PRNGKey(seed)
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         F = 5 if config.ip_dim else 4
-        lat = 32 // 8
+        # Smallest latent that stays even through every down/upsample of
+        # the ladder (params are shape-independent of the spatial size;
+        # a too-small latent hits a 1x1-vs-2x2 skip-concat mismatch at
+        # the deepest level).
+        lat = 4 * 2 ** (len(config.channel_mult) - 1)
         x = jnp.zeros((F, lat, lat, 4))
         t = jnp.zeros((F,), jnp.int32)
         ctx = jnp.zeros((F, config.max_tokens, config.context_dim))
@@ -205,16 +209,20 @@ class MVDreamPipeline:
             n_patch = (config.image_size // config.patch_size) ** 2 + 1
             ip = jnp.zeros((F, n_patch, config.vision_hidden))
             ip_img = jnp.zeros((lat, lat, 4))
-            unet_params = pipe.unet.init(
-                k1, x, t, ctx, F, camera=cam, ip=ip, ip_img=ip_img
-            )["params"]
+            unet_params = jax.jit(
+                lambda k, xx: pipe.unet.init(
+                    k, xx, t, ctx, F, camera=cam, ip=ip, ip_img=ip_img
+                )
+            )(k1, x)["params"]
         else:
-            unet_params = pipe.unet.init(k1, x, t, ctx, F, camera=cam)[
-                "params"
-            ]
-        vae_params = pipe.vae.init(
-            k2, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, lat, lat, 4))
-        )["params"]
+            unet_params = jax.jit(
+                lambda k, xx: pipe.unet.init(k, xx, t, ctx, F, camera=cam)
+            )(k1, x)["params"]
+        vae_params = jax.jit(
+            lambda k: pipe.vae.init(
+                k, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 4, 4, 4))
+            )
+        )(k2)["params"]
         text_params = pipe._text_model.init_weights(
             k3, (1, config.max_tokens)
         )

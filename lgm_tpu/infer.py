@@ -100,33 +100,51 @@ def render_orbit_video(
     """Render a 360° orbit and write an mp4. All frames go through the
     batched renderer in chunks (the reference issues one CUDA launch per
     frame, infer.py:132-145). ``fancy`` ramps the Gaussian scale modifier
-    from 0 to 1 over the first quarter (ref: infer.py:113-130)."""
+    from 0 to 1 over the first quarter (ref: infer.py:113-130).
+
+    The chunk renderer is jitted ONCE and reused for every chunk (the
+    scale modifier is a traced argument): un-jitted, every chunk
+    dispatches the whole render graph op-by-op — measured 0.9 s/frame
+    through the remote-TPU tunnel vs ~5 ms/frame compiled."""
+    import jax
     import jax.numpy as jnp
 
     from lgm_tpu.ops.gsplat import render_views
 
     tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
     cams = orbit_video_cameras(opt, n_frames)
+    assert n_frames % chunk == 0 or chunk > n_frames, (
+        "chunk must divide n_frames (one compiled shape)")
+
+    # uint8 conversion happens ON DEVICE: the host readback is 4x
+    # smaller (94 MB -> 24 MB per 30-frame chunk at 512²), which is the
+    # dominant cost through a remote-TPU tunnel.
+    render_chunk = jax.jit(
+        lambda g, views, sm: (
+            render_views(
+                g, views, opt.output_size, tan, scale_modifier=sm
+            )["image"] * 255.0
+        ).astype(jnp.uint8)
+    )
+
     frames = []
     g = jnp.asarray(gaussians)[None]
     for s in range(0, n_frames, chunk):
         sl = slice(s, min(s + chunk, n_frames))
         views = jnp.asarray(cams["cam_view"][sl])[None]
         if fancy:
-            # One render call per modifier value within the ramp.
-            imgs = []
+            # Per-frame modifier values within the ramp; same compiled
+            # fn, chunk of 1.
             for i in range(sl.start, sl.stop):
-                sm = min(1.0, 4.0 * i / n_frames) if fancy else 1.0
-                o = render_views(
-                    g, jnp.asarray(cams["cam_view"][i][None, None]),
-                    opt.output_size, tan, scale_modifier=sm,
+                sm = min(1.0, 4.0 * i / n_frames)
+                img = render_chunk(
+                    g, jnp.asarray(cams["cam_view"][i][None, None]), sm
                 )
-                imgs.append(np.asarray(o["image"][0, 0]))
-            frames.extend(imgs)
+                frames.append(np.asarray(img[0, 0]))
         else:
-            out = render_views(g, views, opt.output_size, tan)
-            frames.extend(np.asarray(out["image"][0]))
-    video = (np.stack(frames) * 255).astype(np.uint8)
+            out = render_chunk(g, views, 1.0)
+            frames.extend(np.asarray(out[0]))
+    video = np.stack(frames)
     _write_video(out_path, video, fps)
     return video
 
@@ -184,11 +202,12 @@ def load_model_params(opt: Options, resume: Optional[str]):
 def process(opt: Options, mv_images: np.ndarray, out_stem: str,
             resume: Optional[str] = None):
     """mv_images [4, H, W, 3] in [0, 1] -> writes .ply and .mp4."""
+    import jax
     import jax.numpy as jnp
 
     model, variables = load_model_params(opt, resume)
     inp = jnp.asarray(build_input(mv_images, opt))
-    gaussians = np.asarray(model.apply(variables, inp))[0]  # [N, 14]
+    gaussians = np.asarray(jax.jit(model.apply)(variables, inp))[0]
 
     ply_path = out_stem + ".ply"
     save_ply(gaussians, ply_path)

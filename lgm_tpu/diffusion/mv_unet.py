@@ -66,14 +66,31 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
 
 
 def _attention(q, k, v, heads: int):
-    """[B, Nq, C] x [B, Nk, C] -> [B, Nq, C] multi-head attention."""
+    """[B, Nq, C] x [B, Nk, C] -> [B, Nq, C] multi-head attention.
+
+    Self-attention over the joint cross-view sequence ((b f) l c ->
+    b (f l) c, up to 5*32² = 5120 tokens) takes the Pallas TPU flash
+    kernel — the dense path materializes the [B, H, S, S] logits and is
+    HBM-bound at these lengths. Cross-attention to the 77-token text
+    context stays dense (tiny, and the kernel wants block-divisible kv)."""
     B, Nq, C = q.shape
     Nk = k.shape[1]
     hd = C // heads
     q = q.reshape(B, Nq, heads, hd)
     k = k.reshape(B, Nk, heads, hd)
     v = v.reshape(B, Nk, heads, hd)
-    o = jax.nn.dot_product_attention(q, k, v)
+    if (jax.default_backend() == "tpu" and Nq == Nk and Nq >= 1024
+            and Nq % 512 == 0):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), sm_scale=float(hd) ** -0.5,
+        ).transpose(0, 2, 1, 3)
+    else:
+        o = jax.nn.dot_product_attention(q, k, v)
     return o.reshape(B, Nq, C)
 
 

@@ -64,6 +64,10 @@ class PipelineConfig:
     vision_heads: int = 16
     image_size: int = 224
     patch_size: int = 14
+    # Compute dtype for the UNet/VAE towers. The reference runs fp16
+    # autocast inference (ref: infer.py:58-64 torch_dtype=float16);
+    # bf16 is the TPU equivalent (params stay f32).
+    compute_dtype: str = "bfloat16"
 
 
 CONFIGS = {
@@ -87,6 +91,18 @@ CONFIGS = {
         vocab_size=1000, max_tokens=16,
         vision_hidden=48, vision_layers=2, vision_heads=2,
         image_size=32, patch_size=16, ip_dim=4,
+    ),
+    # Full ladder depth (4 levels like the real configs) at tiny widths:
+    # regression coverage for init shapes that must survive 3 down/up
+    # rounds (a too-small init latent hits a skip-concat mismatch).
+    "tiny-test-deep": PipelineConfig(
+        model_channels=32, channel_mult=(1, 1, 2, 2),
+        attention_resolutions=(4, 2, 1), num_res_blocks=1,
+        num_head_channels=16, context_dim=32,
+        vae_channels=(32, 32), text_hidden=32, text_layers=1, text_heads=1,
+        vocab_size=500, max_tokens=8,
+        vision_hidden=32, vision_layers=1, vision_heads=1,
+        image_size=32, patch_size=16,
     ),
 }
 
@@ -123,6 +139,10 @@ class MVDreamPipeline:
             config.vocab_size, config.max_tokens
         )
 
+        import jax.numpy as jnp
+
+        cdt = jnp.bfloat16 if config.compute_dtype == "bfloat16" \
+            else jnp.float32
         self.unet = MultiViewUNetModel(
             model_channels=config.model_channels,
             channel_mult=config.channel_mult,
@@ -132,8 +152,10 @@ class MVDreamPipeline:
             context_dim=config.context_dim,
             ip_dim=config.ip_dim,
             ip_weight=config.ip_weight,
+            dtype=cdt,
         )
-        self.vae = AutoencoderKL(block_out_channels=config.vae_channels)
+        self.vae = AutoencoderKL(block_out_channels=config.vae_channels,
+                                 dtype=cdt)
         self._text_model, self._vision_model = self._build_clip(config)
 
         self._unet_step = jax.jit(
@@ -148,6 +170,29 @@ class MVDreamPipeline:
                 ip_img=ip_img,
             ),
             static_argnums=(5,),
+        )
+        # Every encoder/decoder is jitted too: un-jitted, a single
+        # pipeline call spends ~10 s dispatching the 32-layer CLIP
+        # vision tower and the VAE op-by-op through a remote-TPU link.
+        self._text_jit = jax.jit(
+            lambda p, ids, mask, pos: self._text_model.module.apply(
+                {"params": p}, ids, mask, pos
+            ).last_hidden_state
+        )
+        self._vision_jit = jax.jit(
+            lambda p, x: self._vision_model.module.apply(
+                {"params": p}, x, output_hidden_states=True
+            ).hidden_states[-2]
+        )
+        self._vae_encode = jax.jit(
+            lambda p, x: self.vae.apply(
+                {"params": p}, x, method=self.vae.encode
+            )[0]
+        )
+        self._vae_decode = jax.jit(
+            lambda p, z: self.vae.apply(
+                {"params": p}, z, method=self.vae.decode
+            )
         )
 
     @staticmethod
@@ -304,12 +349,11 @@ class MVDreamPipeline:
         embs = []
         for text in (negative_prompt, prompt):
             ids = self.tokenizer(text)
-            out = self._text_model.module.apply(
-                {"params": self.params["text_encoder"]}, ids,
-                np.ones_like(ids),
+            out = self._text_jit(
+                self.params["text_encoder"], ids, np.ones_like(ids),
                 np.arange(ids.shape[1])[None],
             )
-            embs.append(np.asarray(out.last_hidden_state, np.float32))
+            embs.append(np.asarray(out, np.float32))
         return embs[0], embs[1]
 
     def encode_image(self, image: np.ndarray):
@@ -322,12 +366,10 @@ class MVDreamPipeline:
             interpolation=cv2.INTER_CUBIC,
         )
         img = (img - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
-        out = self._vision_model.module.apply(
-            {"params": self.params["image_encoder"]},
-            img[None],
-            output_hidden_states=True,
+        out = self._vision_jit(
+            self.params["image_encoder"], img[None].astype(np.float32)
         )
-        feats = np.asarray(out.hidden_states[-2], np.float32)
+        feats = np.asarray(out, np.float32)
         return np.zeros_like(feats), feats
 
     def encode_image_latents(self, image: np.ndarray, size: int = 256):
@@ -339,20 +381,17 @@ class MVDreamPipeline:
         img = cv2.resize(image, (size, size),
                          interpolation=cv2.INTER_LINEAR)
         img = 2.0 * img - 1.0
-        mean, _ = self.vae.apply(
-            {"params": self.params["vae"]}, jnp.asarray(img[None]),
-            method=self.vae.encode,
-        )
+        mean = self._vae_encode(self.params["vae"],
+                                jnp.asarray(img[None], jnp.float32))
         lat = np.asarray(mean, np.float32) * SCALING_FACTOR
         return np.zeros_like(lat), lat
 
     def decode_latents(self, latents: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        img = self.vae.apply(
-            {"params": self.params["vae"]},
-            jnp.asarray(latents) / SCALING_FACTOR,
-            method=self.vae.decode,
+        img = self._vae_decode(
+            self.params["vae"],
+            jnp.asarray(latents, jnp.float32) / SCALING_FACTOR,
         )
         img = np.asarray(img, np.float32)
         return np.clip(img / 2 + 0.5, 0.0, 1.0)

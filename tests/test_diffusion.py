@@ -96,7 +96,8 @@ def test_mv_unet_ip_branch():
 
 
 @pytest.mark.parametrize("name,image", [("tiny-test", False),
-                                        ("tiny-test-ip", True)])
+                                        ("tiny-test-ip", True),
+                                        ("tiny-test-deep", False)])
 def test_pipeline_end_to_end_tiny(name, image):
     from lgm_tpu.diffusion.pipeline import MVDreamPipeline
 

@@ -7,7 +7,7 @@ python -m lgm_tpu.train small --workspace workspace_debug --total-steps 2000
 # LVIS finetune recipe (ref: scripts/finetune_lgm.sh: fovy 60, output 320,
 # 6 input views):
 python -m lgm_tpu.train big --workspace workspace_ft --data-mode lvis \
-    --data-path-rendering /data/lvis --fovy 60 --num-input-views 6 \
+    --data-path-rendering /data/lvis --fovy 60 --output-size 320 --num-input-views 6 \
     --resume workspace_big/ckpt_30000
 # Inference from four prepared views:
 python -m lgm_tpu.infer big --resume workspace_big/ckpt_30000 \

@@ -9,6 +9,10 @@ python -m lgm_tpu.train small --workspace workspace_debug --total-steps 2000
 python -m lgm_tpu.train big --workspace workspace_ft --data-mode lvis \
     --data-path-rendering /data/lvis --fovy 60 --output-size 320 --num-input-views 6 \
     --resume workspace_big/ckpt_30000
+# Diffusion U-Net finetune (multi-view eps-loss; BASELINE cfg 5):
+python -m lgm_tpu.diffusion.train --pipeline mvdream --ckpt /ckpts/mvdream \
+    --workspace ws_mvft --data-mode lvis --data-path /data/lvis \
+    --batch-size 4 --total-steps 10000 --export ws_mvft/pipeline
 # Inference from four prepared views:
 python -m lgm_tpu.infer big --resume workspace_big/ckpt_30000 \
     --mv-images v0.png v1.png v2.png v3.png --workspace out

@@ -1,0 +1,111 @@
+"""Diffusion U-Net finetune trainer (lgm_tpu/diffusion/train.py).
+
+The reference has no diffusion trainer in the snapshot (its readme points
+at missing files, readme.md:35,50,70); these tests define the behavior:
+epsilon-loss value at init, optimization progress, CFG dropout, the
+ImageDream ip path, and checkpoint round-trip — all on the tiny pipeline
+config over the virtual 8-device CPU mesh from conftest."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lgm_tpu.diffusion.data import SyntheticMVData, blender_condition
+from lgm_tpu.diffusion.pipeline import MVDreamPipeline
+from lgm_tpu.diffusion.train import DiffusionTrainer
+
+
+def _tiny_batch(rng, B=4, F=4, S=32):
+    """Host batch shaped like data.py emits (images small enough for the
+    tiny VAE: 32² -> 8² latents after the single downsample)."""
+    return {
+        "images": rng.uniform(0, 1, (B, F, S, S, 3)).astype(np.float32),
+        "camera": np.stack([
+            np.stack([blender_condition(10.0, 90.0 * k) for k in range(F)])
+            for _ in range(B)
+        ]).astype(np.float32),
+        "prompts": ["a test object"] * B,
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer():
+    pipe = MVDreamPipeline.from_config("tiny-test")
+    return DiffusionTrainer(pipe, lr=2e-3, warmup=1, total_steps=100,
+                            cond_drop=0.0, seed=0, num_devices=4)
+
+
+def test_loss_at_init_is_unit_noise(tiny_trainer):
+    """The U-Net's output conv is zero-init (mv_unet.py out_conv), so the
+    first prediction is 0 and the eps-MSE must be E||eps||^2 ~= 1."""
+    rng = np.random.default_rng(0)
+    m = tiny_trainer.train_step(_tiny_batch(rng))
+    assert 0.85 < float(m["loss"]) < 1.15
+    assert np.isfinite(float(m["gnorm"]))
+
+
+def test_loss_decreases_on_fixed_batch(tiny_trainer):
+    rng = np.random.default_rng(1)
+    data = _tiny_batch(rng)
+    first = None
+    for _ in range(25):
+        m = tiny_trainer.train_step(data)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first * 0.9, (first, float(m["loss"]))
+
+
+def test_cond_dropout_uses_null_context():
+    pipe = MVDreamPipeline.from_config("tiny-test")
+    tr = DiffusionTrainer(pipe, cond_drop=1.0, seed=0, num_devices=4)
+    rng = np.random.default_rng(2)
+    batch = tr.prepare_batch(_tiny_batch(rng))
+    ctx = np.asarray(jax.device_get(batch["context"]))
+    np.testing.assert_allclose(ctx[0], tr._null_ctx, atol=1e-6)
+
+
+def test_imagedream_ip_path_trains():
+    pipe = MVDreamPipeline.from_config("tiny-test-ip")
+    tr = DiffusionTrainer(pipe, lr=1e-3, warmup=1, cond_drop=0.5, seed=0,
+                          num_devices=4)
+    rng = np.random.default_rng(3)
+    m = tr.train_step(_tiny_batch(rng))
+    assert np.isfinite(float(m["loss"]))
+    batch = tr.prepare_batch(_tiny_batch(rng))
+    assert batch["camera"].shape[1] == 5  # F + zero extra-view row
+    assert "ip_feats" in batch and "ip_img" in batch
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_trainer):
+    rng = np.random.default_rng(4)
+    tiny_trainer.train_step(_tiny_batch(rng))
+    path = tiny_trainer.save(str(tmp_path))
+    step_before = tiny_trainer.step
+    leaf_before = jax.device_get(
+        jax.tree_util.tree_leaves(tiny_trainer.params)[0]
+    )
+    tiny_trainer.train_step(_tiny_batch(rng))
+    tiny_trainer.restore(path)
+    assert tiny_trainer.step == step_before
+    leaf_after = jax.device_get(
+        jax.tree_util.tree_leaves(tiny_trainer.params)[0]
+    )
+    np.testing.assert_array_equal(leaf_before, leaf_after)
+
+
+def test_synthetic_mv_dataset_contract():
+    ds = SyntheticMVData(num_frames=4, image_size=32, length=8)
+    b = ds.batch(0, 2)
+    assert b["images"].shape == (2, 4, 32, 32, 3)
+    assert b["camera"].shape == (2, 4, 16)
+    assert len(b["prompts"]) == 2
+    assert b["images"].min() >= 0.0 and b["images"].max() <= 1.0
+    # Conditioning rows are orthonormal radius-1 poses (blender coord).
+    p = b["camera"][0, 0].reshape(4, 4)
+    np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 1.0, atol=1e-5)
+    # Determinism per (seed, step).
+    b2 = ds.batch(0, 2)
+    np.testing.assert_array_equal(b["images"], b2["images"])

@@ -63,6 +63,15 @@ class Options:
     # within a 16 GB chip at reference batch sizes; see models/unet.py).
     unet_remat: bool = True
 
+    # --- parallelism -----------------------------------------------------
+    # View-parallel mesh axis: devices form a (dp, vp) mesh with
+    # dp = device_count / vp. Supervision views shard over vp; the U-Net
+    # runs with its (scene, input-view) axis sharded over dp x vp and the
+    # per-view Gaussian slices all-gather along vp before rasterization.
+    vp: int = 1
+    # ZeRO-1: shard large optimizer-state leaves (Adam mu/nu) over dp.
+    zero1: bool = False
+
     # --- rasterizer ------------------------------------------------------
     # Pallas tile size in pixels (rows x cols); cols aligned to TPU lanes.
     tile_h: int = 32

@@ -23,11 +23,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from lgm_tpu.config import Options
 from lgm_tpu.models.lpips import LPIPS
 from lgm_tpu.models.unet import UNet
 from lgm_tpu.ops.gsplat import render_views
+from lgm_tpu.parallel.mesh import gather_gaussians
 
 
 def activate_gaussians(x: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +57,11 @@ class LGM(nn.Module):
 
     opt: Options
     dtype: Any = jnp.bfloat16
+    # Optional (dp, vp) mesh: the U-Net runs with the (scene, input-view)
+    # axis sharded over dp x vp, and the resulting per-view Gaussian
+    # slices are all-gathered along vp before rasterization (the
+    # sharded-Gaussian all-gather of BASELINE.json's pod config).
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +78,7 @@ class LGM(nn.Module):
             up_attention=self.opt.up_attention,
             dtype=self.dtype,
             remat=self.opt.unet_remat,
+            mesh=self.mesh,
             name="unet",
         )(x)
         # Final 1x1 conv kept for reference-checkpoint parity
@@ -78,6 +86,9 @@ class LGM(nn.Module):
         x = nn.Conv(14, (1, 1), dtype=jnp.float32, name="conv")(x)
         s = self.opt.splat_size
         x = x.reshape(B, V * s * s, 14)
+        # All-gather the per-view Gaussian slices along vp: every vp chip
+        # needs the full scene to render its supervision-view shard.
+        x = gather_gaussians(x, self.mesh)
         return activate_gaussians(x)
 
 
@@ -137,6 +148,7 @@ class LGMWithLoss(nn.Module):
     opt: Options
     dtype: Any = jnp.bfloat16
     rasterizer_backend: str = "auto"
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -145,7 +157,8 @@ class LGMWithLoss(nn.Module):
         bg_color: jnp.ndarray,
     ) -> Dict[str, jnp.ndarray]:
         opt = self.opt
-        gaussians = LGM(opt, self.dtype, name="lgm")(data["input"])
+        gaussians = LGM(opt, self.dtype, mesh=self.mesh,
+                        name="lgm")(data["input"])
 
         tan_half_fov = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
         B, V = data["cam_view"].shape[:2]

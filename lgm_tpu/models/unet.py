@@ -19,12 +19,15 @@ Re-design of the reference's torch U-Net (ref: core/unet.py:11-319) for TPU:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
+
+from lgm_tpu.parallel.mesh import constrain_views
 
 
 def _group_norm(x, name=None):
@@ -72,6 +75,10 @@ class MVAttention(nn.Module):
     num_heads: int = 16
     skip_scale: float = 1.0
     dtype: Any = jnp.bfloat16
+    # Optional (dp, vp) mesh: re-shard the [B*V, ...] axis after the
+    # cross-view attention (whose joint V*H*W sequence is gathered along
+    # vp) so the following convs keep running view-sharded.
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x):
@@ -94,7 +101,8 @@ class MVAttention(nn.Module):
         o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
 
         o = o.reshape(BV, H, W, C)
-        return ((o + res) * self.skip_scale).astype(self.dtype)
+        out = ((o + res) * self.skip_scale).astype(self.dtype)
+        return constrain_views(out, self.mesh)
 
 
 class ResnetBlock(nn.Module):
@@ -133,6 +141,7 @@ class DownBlock(nn.Module):
     attention: bool = False
     skip_scale: float = 1.0
     dtype: Any = jnp.bfloat16
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x):
@@ -142,7 +151,8 @@ class DownBlock(nn.Module):
                             name=f"res{i}")(x)
             if self.attention:
                 x = MVAttention(self.num_views, 16, self.skip_scale,
-                                self.dtype, name=f"attn{i}")(x)
+                                self.dtype, mesh=self.mesh,
+                                name=f"attn{i}")(x)
             skips.append(x)
         if self.downsample:
             x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
@@ -161,6 +171,7 @@ class MidBlock(nn.Module):
     attention: bool = True
     skip_scale: float = 1.0
     dtype: Any = jnp.bfloat16
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x):
@@ -169,7 +180,8 @@ class MidBlock(nn.Module):
         for i in range(self.num_layers):
             if self.attention:
                 x = MVAttention(self.num_views, 16, self.skip_scale,
-                                self.dtype, name=f"attn{i}")(x)
+                                self.dtype, mesh=self.mesh,
+                                name=f"attn{i}")(x)
             x = ResnetBlock(self.channels, self.skip_scale, self.dtype,
                             name=f"res{i + 1}")(x)
         return x
@@ -186,6 +198,7 @@ class UpBlock(nn.Module):
     attention: bool = False
     skip_scale: float = 1.0
     dtype: Any = jnp.bfloat16
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x, skips: Sequence[jnp.ndarray]):
@@ -197,7 +210,8 @@ class UpBlock(nn.Module):
                             name=f"res{i}")(x)
             if self.attention:
                 x = MVAttention(self.num_views, 16, self.skip_scale,
-                                self.dtype, name=f"attn{i}")(x)
+                                self.dtype, mesh=self.mesh,
+                                name=f"attn{i}")(x)
         if self.upsample:
             B, H, W, C = x.shape
             x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
@@ -227,6 +241,11 @@ class UNet(nn.Module):
     # chip has. Costs ~1/3 extra U-Net forward FLOPs on backward; the
     # U-Net is a minor share of the train step (BENCHMARKS.md).
     remat: bool = True
+    # Optional (dp, vp) mesh for view-sharded execution: the [B*V, ...]
+    # batch axis is sharded over both axes so each vp chip runs only its
+    # slice of input views through the conv trunk; only the cross-view
+    # attention sequence gathers along vp.
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x):
@@ -236,7 +255,7 @@ class UNet(nn.Module):
             Up = nn.remat(UpBlock, prevent_cse=False)
         else:
             Down, Mid, Up = DownBlock, MidBlock, UpBlock
-        x = x.astype(self.dtype)
+        x = constrain_views(x.astype(self.dtype), self.mesh)
         x = nn.Conv(self.down_channels[0], (3, 3), dtype=self.dtype,
                     name="conv_in")(x)
 
@@ -249,6 +268,7 @@ class UNet(nn.Module):
                 attention=self.down_attention[i],
                 skip_scale=self.skip_scale,
                 dtype=self.dtype,
+                mesh=self.mesh,
                 name=f"down{i}",
             )(x)
             xss.extend(skips)
@@ -256,7 +276,7 @@ class UNet(nn.Module):
         x = Mid(
             self.down_channels[-1], self.num_views,
             attention=self.mid_attention, skip_scale=self.skip_scale,
-            dtype=self.dtype, name="mid",
+            dtype=self.dtype, mesh=self.mesh, name="mid",
         )(x)
 
         for i, ch in enumerate(self.up_channels):
@@ -270,6 +290,7 @@ class UNet(nn.Module):
                 attention=self.up_attention[i],
                 skip_scale=self.skip_scale,
                 dtype=self.dtype,
+                mesh=self.mesh,
                 name=f"up{i}",
             )(x, skips)
 

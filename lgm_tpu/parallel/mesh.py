@@ -60,3 +60,70 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     s = NamedSharding(mesh, P())
     return jax.device_put(tree, s)
+
+
+def constrain_views(x, mesh: Optional[Mesh]):
+    """Constrain a [B*V, ...] flattened (scene, view) leading axis to be
+    sharded over (dp, vp) — each vp chip computes its own slice of the
+    input views through the U-Net instead of replicating the whole
+    forward along vp. No-op when no mesh is given, when vp == 1, or when
+    the axis does not divide evenly."""
+    if mesh is None or mesh.shape.get("vp", 1) == 1:
+        return x
+    total = mesh.shape["dp"] * mesh.shape["vp"]
+    if x.shape[0] % total != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(("dp", "vp")))
+    )
+
+
+def gather_gaussians(x, mesh: Optional[Mesh]):
+    """Constrain per-scene Gaussians [B, N, 14] to P("dp") — replicated
+    along vp. Under a view-sharded U-Net this is the sharded-Gaussian
+    all-gather over ICI (BASELINE.json north star): each vp chip holds
+    the Gaussians of its own input-view slice and contributes them to
+    every vp peer before rasterizing its supervision-view shard."""
+    if mesh is None or mesh.shape.get("vp", 1) == 1:
+        return x
+    if x.shape[0] % mesh.shape["dp"] != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("dp"))
+    )
+
+
+def shard_opt_state(mesh: Mesh, opt_state, min_size: int = 2 ** 16):
+    """ZeRO-1-style optimizer-state sharding: place each large optimizer
+    leaf (Adam mu/nu and the like) sharded over dp on its largest
+    dp-divisible axis; small leaves stay replicated. Params and grads
+    remain replicated (plain DP); only the optimizer's per-parameter
+    state pays the memory — sharding it 8-way saves ~2.2 GB/chip for the
+    big preset's ~415M params (nu f32 + mu bf16). The reference has no
+    equivalent (DDP replicates optimizer state per GPU)."""
+    dp = mesh.shape["dp"]
+
+    def spec_for(leaf):
+        if not hasattr(leaf, "shape") or leaf.size < min_size:
+            return P()
+        divisible = [i for i, s in enumerate(leaf.shape) if s % dp == 0]
+        if not divisible:
+            return P()
+        axis = max(divisible, key=lambda i: leaf.shape[i])
+        spec = [None] * leaf.ndim
+        spec[axis] = "dp"
+        return P(*spec)
+
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, spec_for(leaf))
+        ),
+        opt_state,
+    )
+
+
+def state_shardings(tree):
+    """The sharding of every leaf of a placed pytree (for jit
+    out_shardings, so donated ZeRO-sharded optimizer leaves keep their
+    placement across steps)."""
+    return jax.tree.map(lambda leaf: leaf.sharding, tree)

@@ -68,8 +68,9 @@ def make_optimizer(opt: Options) -> optax.GradientTransformation:
 
 
 def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
-                 backend: str = "auto") -> Tuple[TrainState, LGMWithLoss]:
-    model = LGMWithLoss(opt, rasterizer_backend=backend)
+                 backend: str = "auto",
+                 mesh=None) -> Tuple[TrainState, LGMWithLoss]:
+    model = LGMWithLoss(opt, rasterizer_backend=backend, mesh=mesh)
     bg = jnp.ones(3)
     # jit the init: eager flax init dispatches op-by-op (minutes through
     # the remote-TPU tunnel); compiled it runs in seconds.
@@ -219,9 +220,11 @@ def main(argv=None):
     opt = parse_cli(argv)
     is_lead = jax.process_index() == 0
     os.makedirs(opt.workspace, exist_ok=True)
-    mesh = make_mesh()
+    n = jax.device_count()
+    assert n % opt.vp == 0, (n, opt.vp)
+    mesh = make_mesh((n // opt.vp, opt.vp))
     if is_lead:
-        print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
+        print(f"devices: {n}, mesh: {mesh.shape}")
 
     from lgm_tpu.utils.logging import MetricLogger, save_image_grid
 
@@ -234,12 +237,32 @@ def main(argv=None):
         k: jnp.asarray(v) for k, v in train_ds.batch(0).items()
         if k != "scenes"
     }
-    state, _ = create_state(opt, rng, sample)
+    state, _ = create_state(opt, rng, sample, mesh=mesh)
     if opt.resume:
         state = load_checkpoint(opt.resume, state)
     state = replicate(mesh, state)
+    opt_shardings = None
+    if opt.zero1:
+        from lgm_tpu.parallel.mesh import shard_opt_state, state_shardings
 
-    jit_train = jax.jit(train_step, donate_argnums=(0,))
+        state = state.replace(
+            opt_state=shard_opt_state(mesh, state.opt_state)
+        )
+        opt_shardings = state_shardings(state.opt_state)
+
+    def _step(state, data, rng_):
+        state, metrics = train_step(state, data, rng_)
+        if opt_shardings is not None:
+            # Keep the ZeRO-sharded optimizer leaves on their shards:
+            # without the constraint GSPMD may choose to replicate the
+            # updated mu/nu and the memory saving evaporates.
+            state = state.replace(opt_state=jax.tree.map(
+                jax.lax.with_sharding_constraint,
+                state.opt_state, opt_shardings,
+            ))
+        return state, metrics
+
+    jit_train = jax.jit(_step, donate_argnums=(0,))
     jit_eval = jax.jit(eval_step)
 
     step = int(state.step)

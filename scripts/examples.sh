@@ -18,6 +18,10 @@ python -m lgm_tpu.infer big --resume workspace_big/ckpt_30000 \
     --mv-images v0.png v1.png v2.png v3.png --workspace out
 # Mesh export:
 python -m lgm_tpu.convert big --test-path out/v0.ply
+# Pod-scale (BASELINE cfg 5): 2-way view sharding (sharded-Gaussian
+# all-gather along vp) + ZeRO-1 optimizer-state sharding over dp:
+python -m lgm_tpu.train big --workspace ws_pod --data-mode lvis \
+    --data-path-rendering /data/lvis --vp 2 --zero1 true
 # Multi-host: run the same train command on every host after setting
 # JAX distributed env (jax.distributed.initialize is called when
 # LGM_TPU_MULTIHOST=1).

@@ -99,3 +99,57 @@ def test_checkpoint_roundtrip(tmp_path, nano_setup):
                     jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(state2.step) == 1
+
+
+def test_view_sharded_zero1_step(nano_setup):
+    """Pod-config step on a (dp=2, vp=2) mesh: view-sharded U-Net with
+    the sharded-Gaussian all-gather along vp, plus ZeRO-1 optimizer-state
+    sharding over dp — must match the single-device step numerically and
+    keep the optimizer leaves on their shards after the update."""
+    from lgm_tpu.data.synthetic import make_batch
+    from lgm_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                       shard_opt_state, state_shardings)
+    from lgm_tpu.train import create_state, train_step
+
+    opt, _, _, _ = nano_setup
+    batch = make_batch(np.random.default_rng(5), opt, batch_size=4,
+                       n_gaussians=64)
+    data_host = {k: v for k, v in batch.items() if k != "scenes"}
+    data1 = {k: jnp.asarray(v) for k, v in data_host.items()}
+
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    state_m, _ = create_state(opt, jax.random.PRNGKey(0), data1,
+                              backend="xla", mesh=mesh)
+    state_m = replicate(mesh, state_m)
+    state_m = state_m.replace(
+        opt_state=shard_opt_state(mesh, state_m.opt_state, min_size=128)
+    )
+    shards = state_shardings(state_m.opt_state)
+    data = shard_batch(mesh, data_host)
+
+    def _step(s, d, r):
+        s, m = train_step(s, d, r)
+        s = s.replace(opt_state=jax.tree.map(
+            jax.lax.with_sharding_constraint, s.opt_state, shards))
+        return s, m
+
+    with mesh:
+        state2, metrics = jax.jit(_step)(state_m, data,
+                                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    state_1, _ = create_state(opt, jax.random.PRNGKey(0), data1,
+                              backend="xla")
+    state_1d, m1 = jax.jit(train_step)(state_1, data1,
+                                       jax.random.PRNGKey(0))
+    # bf16 U-Net compute under a different GSPMD partitioning rounds
+    # differently; ~1e-3 relative is layout noise, not semantics.
+    np.testing.assert_allclose(float(metrics["loss"]), float(m1["loss"]),
+                               rtol=5e-3)
+    l2 = jax.tree.leaves(state2.params)[0]
+    l1 = jax.tree.leaves(state_1d.params)[0]
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=5e-4)
+
+    big = [l for l in jax.tree.leaves(state2.opt_state)
+           if hasattr(l, "sharding") and l.size >= 128]
+    assert big and any(not l.sharding.is_fully_replicated for l in big)

@@ -194,6 +194,15 @@ class MVDreamPipeline:
                 {"params": p}, z, method=self.vae.decode
             )
         )
+        # The whole DDIM denoising loop as ONE jitted scan: the eager
+        # loop pays several host<->device round trips per step (latent
+        # upload, noise readback, scheduler math) — ~30 ms each through
+        # a remote-TPU tunnel, seconds over 30-50 steps — and blocks the
+        # device between steps. In-graph, latents never leave the chip.
+        self._sample_jit = jax.jit(
+            self._sample_impl,
+            static_argnames=("F", "cfg_on", "use_ip"),
+        )
 
     @staticmethod
     def _build_clip(config: PipelineConfig):
@@ -400,6 +409,43 @@ class MVDreamPipeline:
     # Sampling
     # ------------------------------------------------------------------
 
+    def _sample_impl(self, params, latents, ctx, cam, ts, a_t, a_prev,
+                     gs, ip, ip_img, *, F: int, cfg_on: bool,
+                     use_ip: bool):
+        """lax.scan over the DDIM steps (deterministic, eta=0). Step
+        arrays (timesteps and their alpha-bar pairs) are precomputed
+        host-side; prediction-type math mirrors DDIMScheduler.step."""
+        import jax
+        import jax.numpy as jnp
+
+        mult = 2 if cfg_on else 1
+        eps_pred = self.scheduler.prediction_type
+
+        def body(lat, step):
+            t, at, ap = step
+            lmi = jnp.concatenate([lat] * mult) if cfg_on else lat
+            tvec = jnp.full((F * mult,), t, jnp.float32)
+            kwargs = {"camera": cam}
+            if use_ip:
+                kwargs.update(ip=ip, ip_img=ip_img)
+            eps = self.unet.apply({"params": params}, lmi, tvec, ctx, F,
+                                  **kwargs)
+            if cfg_on:
+                uncond, cond = eps[:F], eps[F:]
+                eps = uncond + gs * (cond - uncond)
+            if eps_pred == "epsilon":
+                x0 = (lat - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
+                e = eps
+            elif eps_pred == "v_prediction":
+                x0 = jnp.sqrt(at) * lat - jnp.sqrt(1.0 - at) * eps
+                e = jnp.sqrt(at) * eps + jnp.sqrt(1.0 - at) * lat
+            else:
+                raise ValueError(eps_pred)
+            return jnp.sqrt(ap) * x0 + jnp.sqrt(1.0 - ap) * e, None
+
+        lat, _ = jax.lax.scan(body, latents, (ts, a_t, a_prev))
+        return lat
+
     def __call__(
         self,
         prompt: str = "",
@@ -450,28 +496,25 @@ class MVDreamPipeline:
             * self.scheduler.init_noise_sigma
         )
 
-        ctx = jnp.asarray(ctx)
-        cam = jnp.asarray(cam)
-        for t in self.scheduler.timesteps:
-            lmi = jnp.asarray(np.concatenate([latents] * mult))
-            ts = jnp.full((F * mult,), float(t))
-            if use_ip:
-                noise = self._unet_step_ip(
-                    self.params["unet"], lmi, ts, ctx, cam, F,
-                    jnp.asarray(ip), jnp.asarray(ip_img),
-                )
-            else:
-                noise = self._unet_step(
-                    self.params["unet"], lmi, ts, ctx, cam, F
-                )
-            noise = np.asarray(noise)
-            if cfg_on:
-                uncond, cond = noise[:F], noise[F:]
-                noise = uncond + guidance_scale * (cond - uncond)
-            latents = np.asarray(
-                self.scheduler.step(jnp.asarray(noise), int(t),
-                                    jnp.asarray(latents))
-            )
+        sch = self.scheduler
+        steps = np.asarray(sch.timesteps, np.int64)
+        a_t = sch.alphas_cumprod[steps]
+        prev = steps - sch.num_train_timesteps // num_inference_steps
+        a_prev = np.where(
+            prev >= 0, sch.alphas_cumprod[np.maximum(prev, 0)],
+            sch.final_alpha_cumprod,
+        ).astype(np.float32)
+        latents = np.asarray(self._sample_jit(
+            self.params["unet"], jnp.asarray(latents), jnp.asarray(ctx),
+            jnp.asarray(cam),
+            jnp.asarray(steps.astype(np.float32)),
+            jnp.asarray(a_t.astype(np.float32)), jnp.asarray(a_prev),
+            jnp.float32(guidance_scale),
+            jnp.asarray(ip) if use_ip else jnp.zeros((1,), jnp.float32),
+            jnp.asarray(ip_img) if use_ip else jnp.zeros((1,),
+                                                         jnp.float32),
+            F=F, cfg_on=cfg_on, use_ip=use_ip,
+        ))
 
         if output_type == "latent":
             return latents

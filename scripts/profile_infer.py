@@ -54,11 +54,15 @@ def main():
         img = np.random.default_rng(0).uniform(
             0, 1, (256, 256, 3)
         ).astype(np.float32)
-        # warm (compiles the unet step + encoders + vae)
+        # warm (compiles the sampling scan + encoders + vae) — at the SAME
+        # step count as the timed call: the jitted DDIM scan's length is
+        # part of the graph, so a different count would recompile inside
+        # the timed region.
         t0 = time.time()
-        mv = pipe(image=img, prompt="", num_inference_steps=2,
+        mv = pipe(image=img, prompt="", num_inference_steps=args.steps,
                   guidance_scale=5.0)
-        print(f"diffusion warm (2 steps + compile): {time.time() - t0:.1f}s")
+        print(f"diffusion warm ({args.steps} steps + compile): "
+              f"{time.time() - t0:.1f}s")
         t0 = time.time()
         mv = pipe(image=img, prompt="", num_inference_steps=args.steps,
                   guidance_scale=5.0)

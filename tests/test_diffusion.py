@@ -125,3 +125,49 @@ def test_pipeline_save_load_roundtrip(tmp_path):
     b = pipe2(prompt="x", height=32, width=32, num_inference_steps=1,
               guidance_scale=1.0, output_type="latent")
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_jitted_sample_loop_matches_eager():
+    """The in-graph lax.scan DDIM loop must reproduce the step-by-step
+    eager loop (UNet jit + host scheduler.step) exactly (f32 on CPU)."""
+    from lgm_tpu.diffusion.pipeline import MVDreamPipeline
+
+    pipe = MVDreamPipeline.from_config("tiny-test")
+    pipe.scheduler.set_timesteps(4)
+    F, h8 = 4, 8
+    rng = np.random.default_rng(0)
+    latents0 = rng.standard_normal((F, h8, h8, 4)).astype(np.float32)
+    ctx = rng.standard_normal(
+        (2 * F, pipe.cfg.max_tokens, pipe.cfg.context_dim)
+    ).astype(np.float32)
+    from lgm_tpu.diffusion.mv_unet import get_camera
+    cam = np.concatenate([get_camera(F)] * 2).astype(np.float32)
+    gs = 5.0
+
+    # Eager reference: per-step jitted UNet + host DDIM update.
+    latents = latents0.copy()
+    for t in pipe.scheduler.timesteps:
+        lmi = jnp.asarray(np.concatenate([latents] * 2))
+        ts = jnp.full((2 * F,), float(t))
+        noise = np.asarray(pipe._unet_step(
+            pipe.params["unet"], lmi, ts, jnp.asarray(ctx),
+            jnp.asarray(cam), F))
+        noise = noise[:F] + gs * (noise[F:] - noise[:F])
+        latents = np.asarray(pipe.scheduler.step(
+            jnp.asarray(noise), int(t), jnp.asarray(latents)))
+
+    # Jitted scan loop.
+    sch = pipe.scheduler
+    steps = np.asarray(sch.timesteps, np.int64)
+    a_t = sch.alphas_cumprod[steps].astype(np.float32)
+    prev = steps - sch.num_train_timesteps // 4
+    a_prev = np.where(prev >= 0, sch.alphas_cumprod[np.maximum(prev, 0)],
+                      sch.final_alpha_cumprod).astype(np.float32)
+    out = np.asarray(pipe._sample_jit(
+        pipe.params["unet"], jnp.asarray(latents0), jnp.asarray(ctx),
+        jnp.asarray(cam), jnp.asarray(steps.astype(np.float32)),
+        jnp.asarray(a_t), jnp.asarray(a_prev), jnp.float32(gs),
+        jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
+        F=F, cfg_on=True, use_ip=False,
+    ))
+    np.testing.assert_allclose(out, latents, atol=2e-4, rtol=2e-4)

@@ -128,10 +128,7 @@ def render_orbit_video(
     scale modifier is a traced argument): un-jitted, every chunk
     dispatches the whole render graph op-by-op — measured 0.9 s/frame
     through the remote-TPU tunnel vs ~5 ms/frame compiled."""
-    import jax
     import jax.numpy as jnp
-
-    from lgm_tpu.ops.gsplat import render_views
 
     tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
     cams = orbit_video_cameras(opt, n_frames)
@@ -144,10 +141,20 @@ def render_orbit_video(
     render_chunk = _orbit_render_fn(opt.output_size, tan)
 
     g = jnp.asarray(gaussians)[None]
-    # Dispatch every chunk before reading any back: dispatch is async, so
-    # the device renders chunk k+1 while the host drains chunk k's 24 MB
-    # through the tunnel (readback is the dominant cost of this stage).
-    outs = []
+    # Bounded dispatch/readback pipeline: chunk k+1 is dispatched (async)
+    # before chunk k is read back, so the device renders while the host
+    # drains 24 MB through the tunnel — but at most one undrained chunk
+    # stays device-resident (dispatching ALL chunks up front would hold
+    # the whole uint8 video in HBM, O(n_frames) instead of O(chunk)).
+    outs: List[np.ndarray] = []
+    pending = None
+
+    def _emit(dev):
+        nonlocal pending
+        if pending is not None:
+            outs.append(np.asarray(pending))
+        pending = dev
+
     for s in range(0, n_frames, chunk):
         sl = slice(s, min(s + chunk, n_frames))
         if fancy:
@@ -155,13 +162,14 @@ def render_orbit_video(
             # fn, chunk of 1.
             for i in range(sl.start, sl.stop):
                 sm = min(1.0, 4.0 * i / n_frames)
-                outs.append(render_chunk(
+                _emit(render_chunk(
                     g, jnp.asarray(cams["cam_view"][i][None, None]), sm
                 )[0])
         else:
             views = jnp.asarray(cams["cam_view"][sl])[None]
-            outs.append(render_chunk(g, views, 1.0)[0])
-    video = np.concatenate([np.asarray(o) for o in outs])
+            _emit(render_chunk(g, views, 1.0)[0])
+    _emit(None)
+    video = np.concatenate(outs)
     _write_video(out_path, video, fps)
     return video
 
@@ -216,11 +224,29 @@ def load_model_params(opt: Options, resume: Optional[str]):
     return model, {"params": params}
 
 
-@functools.lru_cache(maxsize=4)
+# Options fields that change the compiled LGM forward graph. Keying the
+# memo on the full Options would recompile (and, at maxsize=4, evict warm
+# entries) on inference-irrelevant variation — main() flips fancy_video,
+# serving requests vary workspace/resume.
+_LGM_MODEL_FIELDS = (
+    "input_size", "down_channels", "down_attention", "mid_attention",
+    "up_channels", "up_attention", "splat_size", "num_input_views",
+    "unet_remat",
+)
+
+
 def _lgm_apply_fn(opt: Options):
-    """Memoized jitted LGM forward per config (a fresh jax.jit wrapper
-    per request would re-lower the U-Net graph every time — see
-    _orbit_render_fn)."""
+    norm = Options().replace(
+        **{f: getattr(opt, f) for f in _LGM_MODEL_FIELDS}
+    )
+    return _lgm_apply_fn_cached(norm)
+
+
+@functools.lru_cache(maxsize=4)
+def _lgm_apply_fn_cached(opt: Options):
+    """Memoized jitted LGM forward per model config (a fresh jax.jit
+    wrapper per request would re-lower the U-Net graph every time — see
+    _orbit_render_fn). Keyed on the model-relevant field subset only."""
     import jax
 
     from lgm_tpu.models.lgm import LGM
@@ -232,10 +258,9 @@ def _lgm_apply_fn(opt: Options):
 def process(opt: Options, mv_images: np.ndarray, out_stem: str,
             resume: Optional[str] = None):
     """mv_images [4, H, W, 3] in [0, 1] -> writes .ply and .mp4."""
-    import jax
     import jax.numpy as jnp
 
-    model, variables = load_model_params(opt, resume)
+    _, variables = load_model_params(opt, resume)
     inp = jnp.asarray(build_input(mv_images, opt))
     gaussians = np.asarray(_lgm_apply_fn(opt)(variables, inp))[0]
 

@@ -17,15 +17,23 @@ white-bg composite, grid-distortion + camera-jitter augmentation on
 non-first input views, ImageNet normalization, Plücker ray concat, and the
 rasterizer camera dict. A thread-prefetching `Loader` replaces the torch
 DataLoader worker pool.
+
+The decode hot path (PNG read + composite + two resizes per view) runs
+in the native C++ runtime when available (native/dataload.cpp via
+lgm_tpu.native.load_views: libpng/libjpeg decode fanned over a thread
+pool — the native half of the reference's DataLoader workers); the cv2
+path remains as fallback and as the parity oracle in tests. Disable with
+``LGM_TPU_NATIVE_LOADER=0``.
 """
 
 from __future__ import annotations
 
 import glob
+import itertools
 import os
 import queue
 import threading
-from typing import Dict, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -52,12 +60,28 @@ def build_sample(images: np.ndarray, masks: np.ndarray,
                  rng: np.random.Generator) -> Dict[str, np.ndarray]:
     """images [V, H, W, 3] white-bg RGB in [0,1], masks [V, H, W],
     cam_poses [V, 4, 4] OpenGL c2w -> provider contract dict."""
+    return build_sample_preresized(
+        _resize(images[: opt.num_input_views], opt.input_size),
+        _resize(images, opt.output_size),
+        _resize(masks[..., None], opt.output_size),
+        cam_poses, opt, training, rng,
+    )
+
+
+def build_sample_preresized(
+        images_input: np.ndarray, images_output: np.ndarray,
+        masks_output: np.ndarray, cam_poses: np.ndarray, opt: Options,
+        training: bool, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Assembly core with resizes already done (the native decode path
+    produces both sizes in one pass): images_input [V_in, in_S, in_S, 3],
+    images_output [V, out_S, out_S, 3], masks_output [V, out_S, out_S, 1],
+    all white-bg RGB in [0,1]; cam_poses [V, 4, 4] OpenGL c2w."""
     V_in = opt.num_input_views
     cam_poses = np.asarray(
         camera.canonicalize_poses(cam_poses, opt.cam_radius)
     )
 
-    images_input = _resize(images[:V_in], opt.input_size)
+    images_input = np.array(images_input[:V_in])  # augmented in place
     poses_input = cam_poses[:V_in].copy()
 
     if training:
@@ -79,13 +103,70 @@ def build_sample(images: np.ndarray, masks: np.ndarray,
                                       opt.zfar)
     return {
         "input": final_input.astype(np.float32),
-        "images_output": _resize(images, opt.output_size).astype(np.float32),
-        "masks_output": _resize(masks[..., None], opt.output_size)
-        .astype(np.float32),
+        "images_output": np.asarray(images_output, np.float32),
+        "masks_output": np.asarray(masks_output, np.float32),
         "cam_view": np.asarray(cams["cam_view"], np.float32),
         "cam_view_proj": np.asarray(cams["cam_view_proj"], np.float32),
         "cam_pos": np.asarray(cams["cam_pos"], np.float32),
     }
+
+
+def _use_native_loader() -> bool:
+    if os.environ.get("LGM_TPU_NATIVE_LOADER", "1") == "0":
+        return False
+    from lgm_tpu import native
+
+    return native.dataload_available()
+
+
+def _native_sample(opt: Options, training: bool,
+                   rng: np.random.Generator,
+                   candidates: Iterator[Tuple[str, np.ndarray]],
+                   ) -> Dict[str, np.ndarray]:
+    """Assemble one sample via the native decode runtime.
+
+    ``candidates`` yields (image_path, c2w) with the pose already parsed
+    (poses are tiny text/npy files — Python); images decode + composite
+    + resize to both target sizes in one threaded C++ call per chunk.
+    Unreadable images are skipped and the tail padded by repetition
+    (ref: provider_objaverse.py:83-91,115-120)."""
+    from lgm_tpu import native
+
+    V = opt.num_views
+    imgs_in: List[np.ndarray] = []
+    imgs_out: List[np.ndarray] = []
+    masks_out: List[np.ndarray] = []
+    poses: List[np.ndarray] = []
+    it = iter(candidates)
+    while len(poses) < V:
+        # A couple of slack entries per chunk absorb decode failures
+        # without decoding the full candidate ring up front.
+        chunk = list(itertools.islice(it, V - len(poses) + 2))
+        if not chunk:
+            break
+        rgb_o, mask_o, rgb_i, _, ok = native.load_views(
+            [p for p, _ in chunk], opt.output_size, opt.input_size,
+            n_threads=min(4, len(chunk)),
+        )
+        for j, good in enumerate(ok):
+            if good and len(poses) < V:
+                imgs_out.append(rgb_o[j])
+                masks_out.append(mask_o[j])
+                imgs_in.append(rgb_i[j])
+                poses.append(chunk[j][1])
+    if not poses:
+        raise RuntimeError("no readable views")
+    while len(poses) < V:  # pad by repetition
+        imgs_out.append(imgs_out[-1])
+        masks_out.append(masks_out[-1])
+        imgs_in.append(imgs_in[-1])
+        poses.append(poses[-1])
+    return build_sample_preresized(
+        np.stack(imgs_in[: opt.num_input_views]),
+        np.stack(imgs_out),
+        np.stack(masks_out)[..., None],
+        np.stack(poses), opt, training, rng,
+    )
 
 
 def _composite_rgba(img: np.ndarray):
@@ -117,9 +198,30 @@ class ObjaverseDataset:
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        import cv2
+    @staticmethod
+    def _parse_pose(cpath: str, cam_radius: float) -> np.ndarray:
+        """blender world + opencv cam -> opengl world & cam
+        (ref: provider_objaverse.py:94-97)."""
+        with open(cpath) as f:
+            c2w = np.array(
+                [float(t) for t in f.read().strip().split()], np.float32,
+            ).reshape(4, 4)
+        c2w[1] *= -1
+        c2w[[1, 2]] = c2w[[2, 1]]
+        c2w[:3, 1:3] *= -1
+        c2w[:3, 3] *= cam_radius / 1.5
+        return c2w
 
+    def _candidates(self, uid: str, vids):
+        for vid in vids:
+            cpath = os.path.join(uid, "pose", f"{vid:03d}.txt")
+            try:
+                c2w = self._parse_pose(cpath, self.opt.cam_radius)
+            except Exception:
+                continue
+            yield os.path.join(uid, "rgb", f"{vid:03d}.png"), c2w
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         opt = self.opt
         uid = self.items[idx]
         rng = np.random.default_rng(
@@ -134,6 +236,12 @@ class ObjaverseDataset:
         else:
             vids = list(np.arange(36, 73, 4)) + list(np.arange(100))
 
+        if _use_native_loader():
+            return _native_sample(opt, self.training, rng,
+                                  self._candidates(uid, vids))
+
+        import cv2
+
         images, masks, poses = [], [], []
         for vid in vids:
             ipath = os.path.join(uid, "rgb", f"{vid:03d}.png")
@@ -141,19 +249,9 @@ class ObjaverseDataset:
             try:
                 raw = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
                 img = raw.astype(np.float32) / 255.0
-                with open(cpath) as f:
-                    c2w = np.array(
-                        [float(t) for t in f.read().strip().split()],
-                        np.float32,
-                    ).reshape(4, 4)
+                c2w = self._parse_pose(cpath, opt.cam_radius)
             except Exception:
                 continue
-            # blender world + opencv cam -> opengl world & cam
-            # (ref: provider_objaverse.py:94-97)
-            c2w[1] *= -1
-            c2w[[1, 2]] = c2w[[2, 1]]
-            c2w[:3, 1:3] *= -1
-            c2w[:3, 3] *= opt.cam_radius / 1.5
             rgb, mask = _composite_rgba(img)
             images.append(rgb)
             masks.append(mask)
@@ -207,9 +305,25 @@ class LVISDataset:
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        import cv2
+    def _parse_pose(self, cpath: str) -> np.ndarray:
+        # Note the elevation sign flip (ref: provider_lvis.py:134).
+        cam = np.load(cpath, allow_pickle=True).item()
+        c2w = camera.orbit_camera(
+            -cam["elevation"], cam["azimuth"], radius=cam["radius"]
+        )
+        c2w[:3, 3] *= self.opt.cam_radius / 1.5
+        return c2w
 
+    def _candidates(self, uid: str, vids):
+        for vid in vids:
+            cpath = os.path.join(uid, f"{vid:03d}.npy")
+            try:
+                c2w = self._parse_pose(cpath)
+            except Exception:
+                continue
+            yield os.path.join(uid, f"{vid:03d}.png"), c2w
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         opt = self.opt
         uid = self.items[idx]
         rng = np.random.default_rng(
@@ -227,6 +341,12 @@ class LVISDataset:
         else:
             vids = fixed + list(np.arange(max_vid + 1))
 
+        if _use_native_loader():
+            return _native_sample(opt, self.training, rng,
+                                  self._candidates(uid, vids))
+
+        import cv2
+
         images, masks, poses = [], [], []
         for vid in vids:
             ipath = os.path.join(uid, f"{vid:03d}.png")
@@ -234,14 +354,9 @@ class LVISDataset:
             try:
                 img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
                 img = img.astype(np.float32) / 255.0
-                cam = np.load(cpath, allow_pickle=True).item()
+                c2w = self._parse_pose(cpath)
             except Exception:
                 continue
-            # Note the elevation sign flip (ref: provider_lvis.py:134).
-            c2w = camera.orbit_camera(
-                -cam["elevation"], cam["azimuth"], radius=cam["radius"]
-            )
-            c2w[:3, 3] *= opt.cam_radius / 1.5
             rgb, mask = _composite_rgba(img)
             images.append(rgb)
             masks.append(mask)

@@ -1,7 +1,13 @@
-"""ctypes bindings for the native C++ mesh operations (native/meshops.cpp).
+"""ctypes bindings for the native C++ runtime (native/*.cpp).
 
-The shared library is compiled on first use with g++ (cached next to the
-source; no pybind11 in this environment — plain C ABI + ctypes).
+Two shared libraries, each compiled on first use with g++ (cached next
+to the source; no pybind11 in this environment — plain C ABI + ctypes):
+
+- ``meshops``: marching tetrahedra, decimation, weld/clean (the
+  reference's PyMCubes/pymeshlab deps, SURVEY.md §2b N5/N11).
+- ``dataload``: the data-pipeline hot path — threaded PNG/JPEG decode,
+  white-bg composite, bilinear resize (the native half of the
+  reference's torch-DataLoader worker pool, SURVEY.md §2a #7/#8).
 """
 
 from __future__ import annotations
@@ -9,7 +15,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -113,6 +119,121 @@ def clean(verts: np.ndarray, faces: np.ndarray, eps: float = 1e-5
         ctypes.byref(nv), ctypes.byref(nf),
     )
     return out_v[: nv.value].copy(), out_f[: nf.value].copy()
+
+
+# ---------------------------------------------------------------------------
+# Native data loader (native/dataload.cpp)
+# ---------------------------------------------------------------------------
+
+_DL_SRC = os.path.join(os.path.dirname(__file__), "..", "native",
+                       "dataload.cpp")
+_DL_SO = os.path.join(os.path.dirname(__file__), "..", "native",
+                      "libdataload.so")
+
+_dl_lib = None
+_dl_failed = False
+
+
+def _load_dataload():
+    """Compile/load the decode library; returns None if the image
+    libraries are unavailable (callers fall back to the cv2 path)."""
+    global _dl_lib, _dl_failed
+    if _dl_lib is not None or _dl_failed:
+        return _dl_lib
+    src = os.path.abspath(_DL_SRC)
+    so = os.path.abspath(_DL_SO)
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", so, "-lpng", "-ljpeg", "-lpthread"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+    except (OSError, subprocess.CalledProcessError):
+        _dl_failed = True
+        return None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    ip = ctypes.POINTER(ctypes.c_int)
+
+    lib.lgm_load_views.argtypes = [
+        ctypes.c_char_p, i64p, ctypes.c_int,
+        ctypes.c_int, f32p, f32p,
+        ctypes.c_int, f32p, f32p,
+        u8p, ctypes.c_int,
+    ]
+    lib.lgm_load_views.restype = ctypes.c_int
+    lib.lgm_decode_rgba.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_int, ip, ip,
+    ]
+    lib.lgm_decode_rgba.restype = ctypes.c_int
+    _dl_lib = lib
+    return lib
+
+
+def dataload_available() -> bool:
+    return _load_dataload() is not None
+
+
+def load_views(paths: List[str], size_a: int, size_b: int = 0,
+               n_threads: int = 4):
+    """Decode `len(paths)` images; white-bg composite; bilinear resize
+    to ``size_a`` (and optionally ``size_b``). Returns
+    (rgb_a [n,Sa,Sa,3], mask_a [n,Sa,Sa], rgb_b|None, mask_b|None,
+    ok [n] bool). Unreadable entries have ok=False and undefined pixels
+    (callers skip-and-pad, the provider contract)."""
+    lib = _load_dataload()
+    assert lib is not None, "native dataload unavailable"
+    n = len(paths)
+    enc = [p.encode() for p in paths]
+    offsets = np.zeros(n, np.int64)
+    pos = 0
+    blob = bytearray()
+    for i, e in enumerate(enc):
+        offsets[i] = pos
+        blob += e + b"\0"
+        pos += len(e) + 1
+    rgb_a = np.empty((n, size_a, size_a, 3), np.float32)
+    mask_a = np.empty((n, size_a, size_a), np.float32)
+    if size_b > 0:
+        rgb_b = np.empty((n, size_b, size_b, 3), np.float32)
+        mask_b = np.empty((n, size_b, size_b), np.float32)
+    else:  # dummy 1-elem buffers (the C side never touches them)
+        rgb_b = np.empty((1, 1, 1, 3), np.float32)
+        mask_b = np.empty((1, 1, 1), np.float32)
+    ok = np.zeros(n, np.uint8)
+    lib.lgm_load_views(
+        bytes(blob), offsets, n, size_a, rgb_a, mask_a,
+        size_b, rgb_b, mask_b, ok, n_threads,
+    )
+    if size_b > 0:
+        return rgb_a, mask_a, rgb_b, mask_b, ok.astype(bool)
+    return rgb_a, mask_a, None, None, ok.astype(bool)
+
+
+def decode_rgba(path: str, cap_hw: int = 4096) -> Optional[np.ndarray]:
+    """Decode one PNG/JPEG to float RGBA [H, W, 4] in [0, 1] (alpha == 1
+    when the file has none). None if unreadable."""
+    lib = _load_dataload()
+    assert lib is not None, "native dataload unavailable"
+    # The C side writes h*w pixels contiguously from the buffer start.
+    buf = np.empty(cap_hw * cap_hw * 4, np.float32)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.lgm_decode_rgba(path.encode(), buf, cap_hw,
+                             ctypes.byref(h), ctypes.byref(w))
+    if rc == -2:  # retry with the reported size
+        cap = max(h.value, w.value)
+        buf = np.empty(cap * cap * 4, np.float32)
+        rc = lib.lgm_decode_rgba(path.encode(), buf, cap,
+                                 ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    n = h.value * w.value * 4
+    return buf[:n].reshape(h.value, w.value, 4).copy()
 
 
 def decimate_to_target(verts: np.ndarray, faces: np.ndarray,

@@ -1,0 +1,155 @@
+"""Native data-loading runtime (native/dataload.cpp) vs the cv2 oracle.
+
+The native loader must reproduce the Python/cv2 pipeline: lossless PNG
+decode, white-bg composite rgb*a + (1-a), and cv2.INTER_LINEAR-convention
+bilinear resize — so the two provider paths are interchangeable
+(ref semantics: core/provider_objaverse.py:83-105)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lgm_tpu import native
+from lgm_tpu.config import get_config
+
+pytestmark = pytest.mark.skipif(
+    not native.dataload_available(), reason="native dataload unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def png_dir(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("pngs")
+    rng = np.random.default_rng(3)
+    sizes = [(48, 48), (64, 64), (96, 96)]
+    for i, (h, w) in enumerate(sizes):
+        rgba = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+        rgba[..., 3] = (rng.uniform(0, 1, (h, w)) > 0.3).astype(np.float32)
+        bgra = (rgba[..., [2, 1, 0, 3]] * 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"{i:03d}.png"), bgra)
+    # An RGB (no alpha) PNG and a JPEG.
+    rgb = (rng.uniform(0, 1, (40, 40, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(d / "noalpha.png"), rgb)
+    cv2.imwrite(str(d / "photo.jpg"), rgb)
+    # A corrupt file.
+    (d / "corrupt.png").write_bytes(b"\x89PNGgarbage")
+    return str(d)
+
+
+def _cv2_reference(path, size_a, size_b):
+    """The Python provider pipeline on one image."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    if img.shape[-1] == 4:
+        mask = img[..., 3]
+        rgb = img[..., [2, 1, 0]] * mask[..., None] + (1 - mask[..., None])
+    else:
+        mask = np.ones(img.shape[:2], np.float32)
+        rgb = img[..., [2, 1, 0]]
+
+    def rz(x, s):
+        return cv2.resize(x, (s, s), interpolation=cv2.INTER_LINEAR)
+
+    return (rz(rgb, size_a), rz(mask, size_a),
+            rz(rgb, size_b), rz(mask, size_b))
+
+
+def test_decode_composite_resize_parity(png_dir):
+    paths = [os.path.join(png_dir, f"{i:03d}.png") for i in range(3)]
+    paths += [os.path.join(png_dir, "noalpha.png")]
+    rgb_a, mask_a, rgb_b, mask_b, ok = native.load_views(
+        paths, 32, 24, n_threads=2
+    )
+    assert ok.all()
+    for i, p in enumerate(paths):
+        ra, ma, rb, mb = _cv2_reference(p, 32, 24)
+        np.testing.assert_allclose(rgb_a[i], ra, atol=2e-3)
+        np.testing.assert_allclose(mask_a[i], ma, atol=2e-3)
+        np.testing.assert_allclose(rgb_b[i], rb, atol=2e-3)
+        np.testing.assert_allclose(mask_b[i], mb, atol=2e-3)
+
+
+def test_identity_size_is_exact(png_dir):
+    # Same-size "resize" must be bit-identical to the decode+composite.
+    p = os.path.join(png_dir, "000.png")
+    rgb, mask, _, _, ok = native.load_views([p], 48, 0)
+    assert ok.all()
+    ra, ma, _, _ = _cv2_reference(p, 48, 48)
+    np.testing.assert_allclose(rgb[0], ra, atol=1e-6)
+    np.testing.assert_allclose(mask[0], ma, atol=1e-6)
+
+
+def test_jpeg_and_corrupt(png_dir):
+    paths = [os.path.join(png_dir, "photo.jpg"),
+             os.path.join(png_dir, "corrupt.png"),
+             os.path.join(png_dir, "missing.png")]
+    rgb, mask, _, _, ok = native.load_views(paths, 32, 0)
+    assert list(ok) == [True, False, False]
+    assert np.isfinite(rgb[0]).all()
+    np.testing.assert_allclose(mask[0], 1.0)  # JPEG has no alpha
+
+
+def test_decode_rgba_roundtrip(png_dir):
+    import cv2
+
+    p = os.path.join(png_dir, "001.png")
+    rgba = native.decode_rgba(p)
+    ref = cv2.imread(p, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    np.testing.assert_allclose(rgba, ref[..., [2, 1, 0, 3]], atol=1e-6)
+    assert native.decode_rgba(os.path.join(png_dir, "corrupt.png")) is None
+
+
+def test_provider_path_parity(tmp_path):
+    """ObjaverseDataset through the native loader == the cv2 fallback."""
+    import cv2
+
+    from lgm_tpu.data.provider import ObjaverseDataset
+    from lgm_tpu.utils import camera
+
+    obj = tmp_path / "obj0"
+    os.makedirs(obj / "rgb")
+    os.makedirs(obj / "pose")
+    rng = np.random.default_rng(11)
+    for v in range(6):
+        rgba = rng.uniform(0, 1, (64, 64, 4)).astype(np.float32)
+        rgba[..., 3] = (rgba[..., 3] > 0.4).astype(np.float32)
+        cv2.imwrite(str(obj / "rgb" / f"{v:03d}.png"),
+                    (rgba[..., [2, 1, 0, 3]] * 255).astype(np.uint8))
+        c2w = camera.orbit_camera(10.0 * v, 60.0 * v, 1.5)
+        # opengl -> stored blender/opencv format (inverse of the
+        # provider's fix; see test_provider.py's objaverse fixture).
+        c2w[:3, 1:3] *= -1
+        c2w[[1, 2]] = c2w[[2, 1]]
+        c2w[1] *= -1
+        np.savetxt(obj / "pose" / f"{v:03d}.txt",
+                   c2w.reshape(-1)[None], fmt="%.8f")
+
+    opt = get_config("nano").replace(
+        num_input_views=2, num_views=4, batch_size=0,
+        prob_cam_jitter=0.0, prob_grid_distortion=0.0,
+    )
+    # Objaverse eval vids start at 36; only views 0..5 exist, so the
+    # provider's skip logic runs too.
+    ds = ObjaverseDataset(opt, training=False, items=[str(obj)])
+    ds.items = [str(obj)]
+
+    os.environ["LGM_TPU_NATIVE_LOADER"] = "1"
+    s_native = ds[0]
+    os.environ["LGM_TPU_NATIVE_LOADER"] = "0"
+    try:
+        s_py = ds[0]
+    finally:
+        del os.environ["LGM_TPU_NATIVE_LOADER"]
+
+    assert set(s_native) == set(s_py)
+    for k in s_py:
+        np.testing.assert_allclose(
+            s_native[k], s_py[k], atol=3e-3,
+            err_msg=f"mismatch in {k}",
+        )

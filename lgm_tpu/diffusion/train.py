@@ -22,7 +22,10 @@ diffusion U-Net finetune. This module is that trainer, TPU-native:
   - AdamW (finetune lr 1e-5 default) + linear warmup, global-norm clip,
     bf16 U-Net compute with f32 params, grads psum'd by XLA over the dp
     mesh axis; full-state orbax checkpoints; ``--export`` writes a
-    pipeline directory loadable by MVDreamPipeline.from_pretrained.
+    pipeline directory loadable by MVDreamPipeline.from_pretrained;
+  - EMA shadow of the U-Net weights (``--ema-decay``, diffusers-style
+    ramped decay) updated inside the jitted step; checkpoints carry it
+    and ``--export`` writes the EMA weights (what one samples from).
 
 Run:  python -m lgm_tpu.diffusion.train --pipeline mvdream \
           --ckpt <converted-dir> --workspace ws_mvft --total-steps 10000
@@ -95,17 +98,28 @@ def diffusion_loss(unet, params, batch: Dict, alphas_cumprod: jnp.ndarray,
     return jnp.mean(err)
 
 
-def make_train_step(unet, tx, alphas_cumprod: np.ndarray, ip: bool):
+def make_train_step(unet, tx, alphas_cumprod: np.ndarray, ip: bool,
+                    ema_decay: float = 0.0):
     table = jnp.asarray(alphas_cumprod, jnp.float32)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, ema, batch, step_idx):
         loss, grads = jax.value_and_grad(
             lambda p: diffusion_loss(unet, p, batch, table, ip)
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {
+        if ema_decay > 0.0:
+            # Warmed-up decay (the diffusers EMAModel ramp): early steps
+            # track the raw weights, the horizon extends toward
+            # ema_decay as training progresses.
+            d = jnp.minimum(ema_decay,
+                            (1.0 + step_idx) / (10.0 + step_idx))
+            ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema, params,
+            )
+        return params, opt_state, ema, {
             "loss": loss, "gnorm": optax.global_norm(grads)
         }
 
@@ -118,11 +132,13 @@ class DiffusionTrainer:
     def __init__(self, pipe: MVDreamPipeline, lr: float = 1e-5,
                  warmup: int = 100, total_steps: int = 10000,
                  grad_clip: float = 1.0, cond_drop: float = 0.1,
-                 seed: int = 0, num_devices: Optional[int] = None):
+                 seed: int = 0, num_devices: Optional[int] = None,
+                 ema_decay: float = 0.9999):
         self.pipe = pipe
         self.ip = pipe.cfg.ip_dim > 0
         self.cond_drop = cond_drop
         self.total_steps = total_steps
+        self.ema_decay = ema_decay
         self.rng = np.random.default_rng(seed)
         n = num_devices or jax.device_count()
         self.mesh = make_mesh((n, 1), devices=jax.devices()[:n])
@@ -131,8 +147,15 @@ class DiffusionTrainer:
             pipe.params["unet"], NamedSharding(self.mesh, P())
         )
         self.opt_state = jax.jit(self.tx.init)(self.params)
+        # EMA shadow of the U-Net weights (ema_decay=0 disables; the
+        # exported pipeline then carries the raw weights instead).
+        self.ema_params = (
+            jax.tree.map(jnp.array, self.params) if ema_decay > 0.0
+            else None
+        )
         self.step_fn = make_train_step(
-            pipe.unet, self.tx, pipe.scheduler.alphas_cumprod, self.ip
+            pipe.unet, self.tx, pipe.scheduler.alphas_cumprod, self.ip,
+            ema_decay=ema_decay,
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
         # Null conditioning for CFG dropout (the sampler's negative branch).
@@ -212,9 +235,13 @@ class DiffusionTrainer:
 
     def train_step(self, data: Dict) -> Dict[str, float]:
         batch = self.prepare_batch(data)
-        self.params, self.opt_state, metrics = self.step_fn(
-            self.params, self.opt_state, batch
+        ema = self.ema_params if self.ema_params is not None else {}
+        self.params, self.opt_state, ema, metrics = self.step_fn(
+            self.params, self.opt_state, ema, batch,
+            jnp.float32(self.step),
         )
+        if self.ema_params is not None:
+            self.ema_params = ema
         self.step += 1
         return metrics
 
@@ -225,10 +252,13 @@ class DiffusionTrainer:
         path = os.path.abspath(
             os.path.join(workspace, f"dckpt_{self.step}")
         )
+        state = {"unet": jax.device_get(self.params),
+                 "opt_state": jax.device_get(self.opt_state),
+                 "step": self.step}
+        if self.ema_params is not None:
+            state["ema"] = jax.device_get(self.ema_params)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"unet": jax.device_get(self.params),
-                          "opt_state": jax.device_get(self.opt_state),
-                          "step": self.step}, force=True)
+        ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
         return path
 
@@ -237,6 +267,8 @@ class DiffusionTrainer:
 
         target = {"unet": jax.device_get(self.params),
                   "opt_state": jax.device_get(self.opt_state), "step": 0}
+        if self.ema_params is not None:
+            target["ema"] = jax.device_get(self.ema_params)
         restored = ocp.StandardCheckpointer().restore(
             os.path.abspath(path), target
         )
@@ -246,12 +278,19 @@ class DiffusionTrainer:
         self.opt_state = jax.device_put(
             restored["opt_state"], NamedSharding(self.mesh, P())
         )
+        if self.ema_params is not None and "ema" in restored:
+            self.ema_params = jax.device_put(
+                restored["ema"], NamedSharding(self.mesh, P())
+            )
         self.step = int(restored["step"])
 
-    def export(self, path: str):
-        """Write a pipeline checkpoint dir with the finetuned U-Net."""
+    def export(self, path: str, use_ema: bool = True):
+        """Write a pipeline checkpoint dir with the finetuned U-Net
+        (the EMA shadow by default — the weights one samples from)."""
         self.pipe.params = dict(self.pipe.params)
-        self.pipe.params["unet"] = jax.device_get(self.params)
+        src = (self.ema_params
+               if use_ema and self.ema_params is not None else self.params)
+        self.pipe.params["unet"] = jax.device_get(src)
         self.pipe.save_pretrained(path)
 
 
@@ -285,6 +324,8 @@ def main(argv=None):
     ap.add_argument("--total-steps", type=int, default=10000)
     ap.add_argument("--cond-drop", type=float, default=0.1)
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--ema-decay", type=float, default=0.9999,
+                    help="EMA decay for the exported weights (0 disables)")
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--export", default=None,
@@ -304,7 +345,7 @@ def main(argv=None):
     trainer = DiffusionTrainer(
         pipe, lr=args.lr, warmup=args.warmup_steps,
         total_steps=args.total_steps, grad_clip=args.grad_clip,
-        cond_drop=args.cond_drop,
+        cond_drop=args.cond_drop, ema_decay=args.ema_decay,
     )
     if args.resume:
         trainer.restore(args.resume)

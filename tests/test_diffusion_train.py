@@ -94,6 +94,57 @@ def test_checkpoint_roundtrip(tmp_path, tiny_trainer):
     np.testing.assert_array_equal(leaf_before, leaf_after)
 
 
+def test_ema_tracks_and_exports(tmp_path):
+    """EMA shadow follows the weights (early decay ramp is small, so it
+    tracks closely), persists through save/restore, and export(use_ema)
+    writes the shadow weights."""
+    pipe = MVDreamPipeline.from_config("tiny-test")
+    tr = DiffusionTrainer(pipe, lr=5e-3, warmup=1, cond_drop=0.0, seed=0,
+                          num_devices=4, ema_decay=0.9999)
+    rng = np.random.default_rng(5)
+    data = _tiny_batch(rng)
+    for _ in range(5):
+        tr.train_step(data)
+    leaves_p = jax.tree_util.tree_leaves(jax.device_get(tr.params))
+    leaves_e = jax.tree_util.tree_leaves(jax.device_get(tr.ema_params))
+    # The shadow moved off the init and differs from the raw weights.
+    assert any(
+        not np.allclose(p, e, atol=1e-8)
+        for p, e in zip(leaves_p, leaves_e)
+    )
+    # At step ~5 the ramped decay is (1+s)/(10+s) < 0.5: the shadow stays
+    # close to the raw weights.
+    for p, e in zip(leaves_p, leaves_e):
+        np.testing.assert_allclose(p, e, atol=0.05)
+
+    path = tr.save(str(tmp_path))
+    ema_before = leaves_e[0]
+    tr.train_step(data)
+    tr.restore(path)
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(jax.device_get(tr.ema_params))[0],
+        ema_before,
+    )
+
+    out = str(tmp_path / "exported")
+    tr.export(out, use_ema=True)
+    pipe2 = MVDreamPipeline.from_pretrained(out, name="tiny-test")
+    np.testing.assert_allclose(
+        jax.tree_util.tree_leaves(jax.device_get(pipe2.params["unet"]))[0],
+        jax.tree_util.tree_leaves(jax.device_get(tr.ema_params))[0],
+        atol=1e-6,
+    )
+
+
+def test_ema_disabled_path():
+    pipe = MVDreamPipeline.from_config("tiny-test")
+    tr = DiffusionTrainer(pipe, lr=1e-3, warmup=1, cond_drop=0.0, seed=0,
+                          num_devices=4, ema_decay=0.0)
+    assert tr.ema_params is None
+    m = tr.train_step(_tiny_batch(np.random.default_rng(6)))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_synthetic_mv_dataset_contract():
     ds = SyntheticMVData(num_frames=4, image_size=32, length=8)
     b = ds.batch(0, 2)

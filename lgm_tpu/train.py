@@ -6,7 +6,9 @@ hyperparameters (lr 4e-4, wd 0.05, betas .9/.95 — main.py:73-74) under a
 cosine one-cycle schedule with warmup (main.py:75-79), global-norm gradient
 clipping at 1.0 (main.py:105-106), and bf16 compute. Unlike the reference
 (weights-only saves, main.py:147-148), checkpoints carry the full training
-state (params + optimizer + step) via orbax.
+state (params + optimizer + step) via orbax; SIGTERM/SIGINT trigger a
+full-state save after the in-flight step (preemptible-pod safety) and
+``--resume auto`` continues from the newest workspace checkpoint.
 
 Run:  python -m lgm_tpu.train small --workspace ws [--max-steps N]
 """
@@ -146,6 +148,18 @@ def save_checkpoint(workspace: str, state: TrainState, step: int):
     return path
 
 
+def latest_checkpoint(workspace: str) -> Optional[str]:
+    """Highest-step ckpt_N dir in the workspace (for --resume auto)."""
+    import re
+
+    best, best_step = None, -1
+    for name in os.listdir(workspace) if os.path.isdir(workspace) else []:
+        m = re.fullmatch(r"ckpt_(\d+)", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(workspace, name), int(m.group(1))
+    return best
+
+
 def load_checkpoint(path: str, state: TrainState) -> TrainState:
     """Full-state resume; tolerant of shape mismatches like the reference's
     loader (ref: main.py:28-44): mismatched leaves keep their init value."""
@@ -191,7 +205,8 @@ def make_datasets(opt: Options):
         """Expose the disk loaders through the synthetic batch(step) API."""
 
         def __init__(self, ds, training):
-            self.loader = Loader(ds, opt.batch_size, shuffle=training)
+            self.loader = Loader(ds, opt.batch_size, shuffle=training,
+                                 workers=opt.num_workers)
             self._iter = None
             self._epoch = 0
 
@@ -239,7 +254,17 @@ def main(argv=None):
     }
     state, _ = create_state(opt, rng, sample, mesh=mesh)
     if opt.resume:
-        state = load_checkpoint(opt.resume, state)
+        # `--resume auto` picks the newest ckpt_N in the workspace, so a
+        # preempted/restarted pod job resumes itself with no operator
+        # input (the reference can only warm-start weights by explicit
+        # path, main.py:28-44).
+        resume = opt.resume
+        if resume == "auto":
+            resume = latest_checkpoint(opt.workspace)
+            if is_lead and resume:
+                print(f"auto-resuming from {resume}")
+        if resume:
+            state = load_checkpoint(resume, state)
     state = replicate(mesh, state)
     opt_shardings = None
     if opt.zero1:
@@ -268,6 +293,24 @@ def main(argv=None):
     step = int(state.step)
     max_steps = opt.total_steps
     t_last = time.time()
+    # Preemption-safe shutdown: TPU pod VMs get SIGTERM ahead of
+    # eviction. Finish the in-flight step, save a full-state checkpoint,
+    # exit cleanly; `--resume auto` then continues from it. (The
+    # reference loses up to an epoch on any crash, main.py:147-148.)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        prev_handlers = {
+            s: signal.signal(s, _on_term)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+    except ValueError:  # not the main thread (e.g. driven from a test)
+        prev_handlers = {}
     # Optional XLA profiler capture (the reference's only profiling is a
     # GUI frame timer, gui.py:59-104; this gives full device traces).
     prof_start = 10 if opt.profile_steps > 0 else -1
@@ -287,6 +330,11 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             state, metrics = jit_train(state, data, sub)
             step += 1
+            if stop_requested["flag"]:
+                path = save_checkpoint(opt.workspace, state, step)
+                if is_lead:
+                    print(f"preemption save at step {step}: {path}")
+                break
             if step % 100 == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_last
@@ -332,6 +380,8 @@ def main(argv=None):
                 path = save_checkpoint(opt.workspace, state, step)
                 if is_lead:
                     print(f"saved {path}")
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     logger.close()
 
 

@@ -16,6 +16,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA executable cache (see bench.py): repeat runs skip the
+# slow remote compile through the TPU tunnel.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tpu"),
+)
+
 
 def _roundtrip(jax, jnp):
     f = jax.jit(lambda a: a * 2.0)

@@ -1,6 +1,8 @@
 """Training-loop tests: loss decreases on the nano preset; data-parallel
 sharded steps run on the virtual 8-device mesh; checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -153,3 +155,48 @@ def test_view_sharded_zero1_step(nano_setup):
     big = [l for l in jax.tree.leaves(state2.opt_state)
            if hasattr(l, "sharding") and l.size >= 128]
     assert big and any(not l.sharding.is_fully_replicated for l in big)
+
+
+def test_preemption_save_and_auto_resume(tmp_path):
+    """SIGTERM mid-training saves a full-state checkpoint and exits
+    cleanly; `--resume auto` finds it (preemptible-pod safety — the
+    reference loses up to an epoch on any crash, main.py:147-148)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from lgm_tpu.train import latest_checkpoint
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    ws = str(tmp_path / "ws")
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "lgm_tpu.train", "nano",
+         "--workspace", ws, "--total-steps", "100000",
+         "--lambda-lpips", "0.0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    try:
+        # Wait for the first logged step, then request preemption.
+        deadline = _time.time() + 240
+        saw_step = False
+        for line in proc.stdout:
+            if line.startswith("step 1:"):
+                saw_step = True
+                break
+            if _time.time() > deadline:
+                break
+        assert saw_step, "training never reached step 1"
+        proc.send_signal(signal.SIGTERM)
+        out = proc.stdout.read()
+        rc = proc.wait(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 0, out
+    assert "preemption save" in out, out
+    ckpt = latest_checkpoint(ws)
+    assert ckpt is not None and os.path.basename(ckpt).startswith("ckpt_")

@@ -43,6 +43,13 @@ v3 (this file):
      ~2x SLOWER @512/65k (larger blocks starve the DMA/compute
      pipeline; the per-step overhead is not the bottleneck) — keep one
      tile per step.
+  6. Image-layout kernel output (writing (8, th, tw) blocks of the
+     final [8, S, S] image instead of [T, 8, P] + XLA transpose) was
+     evaluated and rejected: Mosaic cannot shape-cast the [8, P]
+     accumulator's lane axis into (th, tw) sublanes x lanes
+     ("infer-vector-layout: unsupported shape cast"), and measurement
+     shows there is nothing to win — the XLA output transpose fuses to
+     0.045 ms/view (channels-first) / 0.10 ms (NHWC) @512/65k.
 
 Capacity is T * MPT slots (MPT = max_per_tile rounded to the 128 lane
 width); each splat enumerates 2D candidate cells over the exact per-axis

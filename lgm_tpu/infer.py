@@ -90,24 +90,51 @@ def orbit_video_cameras(opt: Options, n_frames: int, elevation: float = 0.0):
 
 
 @functools.lru_cache(maxsize=8)
-def _orbit_render_fn(output_size: int, tan: float):
+def _orbit_render_fn(output_size: int, tan: float, n_devices: int = 1):
     """Memoized jitted chunk renderer. A fresh jax.jit wrapper per call
     re-lowers the whole 30-frame render graph — measured 21.6 s even on
     a persistent-cache hit through the remote-TPU tunnel, vs 1.4 s for
-    the warm render itself. One wrapper per (size, fov) serves every
-    call (CLI, gradio requests, profiler repeats)."""
+    the warm render itself. One wrapper per (size, fov, devices) serves
+    every call (CLI, gradio requests, profiler repeats).
+
+    With ``n_devices > 1`` the frame axis shards over a 1-axis mesh via
+    shard_map — each chip renders its own frame slice (the per-frame
+    lax.map inside the renderer is a sequential scan, so plain sharded
+    inputs would NOT parallelize it; shard_map runs one shorter scan per
+    chip). Gaussians are replicated (~5 MB), so the only collective is
+    the output gather."""
     import jax
     import jax.numpy as jnp
 
     from lgm_tpu.ops.gsplat import render_views
 
-    return jax.jit(
-        lambda g, views, sm: (
+    def chunk_fn(g, views, sm):
+        return (
             render_views(
                 g, views, output_size, tan, scale_modifier=sm
             )["image"] * 255.0
         ).astype(jnp.uint8)
-    )
+
+    if n_devices <= 1:
+        return jax.jit(chunk_fn)
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("frames",))
+    specs = dict(in_specs=(P(), P(None, "frames"), P()),
+                 out_specs=P(None, "frames"))
+    try:
+        from jax import shard_map  # jax >= 0.6 stable API
+
+        # check_vma off: the per-device render is a plain independent
+        # computation (no collectives); the varying-axis checker trips
+        # on scan carries initialized from unvarying constants.
+        sharded = shard_map(chunk_fn, mesh=mesh, check_vma=False, **specs)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        sharded = shard_map(chunk_fn, mesh=mesh, check_rep=False, **specs)
+    return jax.jit(sharded)
 
 
 def render_orbit_video(
@@ -118,6 +145,7 @@ def render_orbit_video(
     fps: int = 30,
     chunk: int = 30,
     fancy: bool = False,
+    n_devices: Optional[int] = None,
 ):
     """Render a 360° orbit and write an mp4. All frames go through the
     batched renderer in chunks (the reference issues one CUDA launch per
@@ -132,13 +160,27 @@ def render_orbit_video(
 
     tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
     cams = orbit_video_cameras(opt, n_frames)
-    assert n_frames % chunk == 0 or chunk > n_frames, (
-        "chunk must divide n_frames (one compiled shape)")
+
+    # Multi-chip serving: shard the frame axis of each chunk over the
+    # available devices (the fancy path renders single frames, which
+    # cannot shard). chunk must stay divisible by the device count.
+    if fancy:
+        n_devices = 1  # single-frame dispatches cannot shard
+    elif n_devices is None:
+        import jax
+
+        n_devices = jax.device_count()
+    if n_devices > 1:
+        n_devices = min(n_devices, n_frames)
+        if chunk % n_devices:
+            chunk = max(n_devices, chunk - chunk % n_devices)
+    # Short final chunks are padded to the compiled shape (repeating the
+    # last camera) and trimmed after readback — one compiled graph.
 
     # uint8 conversion happens ON DEVICE: the host readback is 4x
     # smaller (94 MB -> 24 MB per 30-frame chunk at 512²), which is the
     # dominant cost through a remote-TPU tunnel.
-    render_chunk = _orbit_render_fn(opt.output_size, tan)
+    render_chunk = _orbit_render_fn(opt.output_size, tan, n_devices)
 
     g = jnp.asarray(gaussians)[None]
     # Bounded dispatch/readback pipeline: chunk k+1 is dispatched (async)
@@ -166,8 +208,13 @@ def render_orbit_video(
                     g, jnp.asarray(cams["cam_view"][i][None, None]), sm
                 )[0])
         else:
-            views = jnp.asarray(cams["cam_view"][sl])[None]
-            _emit(render_chunk(g, views, 1.0)[0])
+            views = np.asarray(cams["cam_view"][sl])
+            k = views.shape[0]
+            if k < chunk:
+                views = np.concatenate(
+                    [views, np.repeat(views[-1:], chunk - k, axis=0)]
+                )
+            _emit(render_chunk(g, jnp.asarray(views)[None], 1.0)[0][:k])
     _emit(None)
     video = np.concatenate(outs)
     _write_video(out_path, video, fps)

@@ -195,6 +195,32 @@ def test_infer_orbit_video(tmp_path):
     assert np.abs(video[0].astype(int) - video[4].astype(int)).max() > 10
 
 
+def test_orbit_video_device_sharded_matches_single(tmp_path):
+    """Frame-sharded rendering (shard_map over the 8 virtual devices)
+    must reproduce the single-device orbit, including a padded short
+    final chunk (10 frames over 8 devices -> one padded chunk)."""
+    import jax
+
+    from lgm_tpu.infer import render_orbit_video
+
+    assert jax.device_count() >= 8
+    opt = get_config("nano")
+    g = _random_gaussians(128, seed=9)
+    g[:, 0:3] *= 0.5
+    v1 = render_orbit_video(
+        g, opt, str(tmp_path / "a.mp4"), n_frames=10, fps=4, chunk=8,
+        n_devices=1,
+    )
+    v8 = render_orbit_video(
+        g, opt, str(tmp_path / "b.mp4"), n_frames=10, fps=4, chunk=8,
+        n_devices=8,
+    )
+    assert v8.shape == v1.shape == (10, opt.output_size, opt.output_size, 3)
+    # Same math per frame; uint8 outputs may differ by 1 on rounding
+    # boundaries at most.
+    assert np.abs(v1.astype(int) - v8.astype(int)).max() <= 1
+
+
 def test_recenter_centers_and_scales():
     from lgm_tpu.utils.image import mv_grid_2x2, recenter, rgba_to_rgb_white
 

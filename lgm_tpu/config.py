@@ -89,6 +89,11 @@ class Options:
     # steps [10, 10 + profile_steps) into <workspace>/trace. 0 = off.
     profile_steps: int = 0
 
+    # Enable jax_debug_nans in the trainer: every primitive re-checks for
+    # NaNs and raises at the producing op (slow; debugging only — the
+    # reference ships no sanitizers at all, SURVEY.md §5.2).
+    debug_nans: bool = False
+
     # --- data ------------------------------------------------------------
     data_mode: str = "synthetic"  # synthetic | objaverse | lvis
     data_path: Optional[str] = None

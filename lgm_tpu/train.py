@@ -233,6 +233,8 @@ def main(argv=None):
     if os.environ.get("LGM_TPU_MULTIHOST", "") == "1":
         jax.distributed.initialize()
     opt = parse_cli(argv)
+    if opt.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     is_lead = jax.process_index() == 0
     os.makedirs(opt.workspace, exist_ok=True)
     n = jax.device_count()

@@ -25,3 +25,15 @@ python -m lgm_tpu.train big --workspace ws_pod --data-mode lvis \
 # Multi-host: run the same train command on every host after setting
 # JAX distributed env (jax.distributed.initialize is called when
 # LGM_TPU_MULTIHOST=1).
+# Preemptible pods: SIGTERM saves a full-state checkpoint; restart with
+# --resume auto to continue from the newest one in the workspace:
+python -m lgm_tpu.train big --workspace ws_pod --resume auto
+# Diffusion finetune EMA (on by default; exported weights are the EMA
+# shadow). Disable with --ema-decay 0:
+python -m lgm_tpu.diffusion.train --pipeline mvdream --ema-decay 0.9999
+# Data loading decodes through the native C++ runtime when it builds
+# (native/dataload.cpp); force the cv2 fallback with:
+LGM_TPU_NATIVE_LOADER=0 python -m lgm_tpu.train big --data-mode lvis ...
+# NaN hunting (trades speed for checks; see SURVEY §5.2 — the reference
+# has no sanitizers):
+python -m lgm_tpu.train small --debug-nans true --total-steps 100

@@ -94,6 +94,10 @@ class Options:
     # reference ships no sanitizers at all, SURVEY.md §5.2).
     debug_nans: bool = False
 
+    # Run one evaluation pass over the test split and exit (use with
+    # --resume; reports eval loss/PSNR, the BASELINE.md eval metrics).
+    eval_only: bool = False
+
     # --- data ------------------------------------------------------------
     data_mode: str = "synthetic"  # synthetic | objaverse | lvis
     data_path: Optional[str] = None

@@ -292,6 +292,31 @@ def main(argv=None):
     jit_train = jax.jit(_step, donate_argnums=(0,))
     jit_eval = jax.jit(eval_step)
 
+    def run_eval():
+        evals = []
+        for i in range(len(test_ds)):
+            eb = shard_batch(
+                mesh,
+                {k: v for k, v in test_ds.batch(i).items()
+                 if k != "scenes"},
+            )
+            evals.append(
+                {k: float(v) for k, v in jit_eval(state, eb).items()
+                 if k != "images_pred"}
+            )
+        return {k: float(np.mean([e[k] for e in evals]))
+                for k in evals[0]}
+
+    if opt.eval_only:
+        with mesh:
+            emeans = run_eval()
+        if is_lead:
+            logger.log(int(state.step), emeans, prefix="eval")
+            print("eval-only: "
+                  + " ".join(f"{k} {v:.4f}" for k, v in emeans.items()))
+        logger.close()
+        return emeans
+
     step = int(state.step)
     max_steps = opt.total_steps
     t_last = time.time()
@@ -359,19 +384,7 @@ def main(argv=None):
                     np.asarray(ev["images_pred"]),
                 )
             if step % 1000 == 0 or step == max_steps:
-                evals = []
-                for i in range(len(test_ds)):
-                    eb = shard_batch(
-                        mesh,
-                        {k: v for k, v in test_ds.batch(i).items()
-                         if k != "scenes"},
-                    )
-                    evals.append(
-                        {k: float(v) for k, v in jit_eval(state, eb).items()
-                         if k != "images_pred"}
-                    )
-                emeans = {k: float(np.mean([e[k] for e in evals]))
-                          for k in evals[0]}
+                emeans = run_eval()
                 if is_lead:
                     logger.log(step, emeans, prefix="eval")
                     print(

@@ -1,0 +1,64 @@
+"""HTTP smoke tests for the serving surfaces: the splat viewer serves
+the page and renders frames over HTTP with the ms/FPS instrumentation
+header (parity with the reference viewer's frame timer, gui.py:100-104)."""
+
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def viewer_server():
+    from lgm_tpu.apps.viewer import ViewerState, _make_handler
+
+    rng = np.random.default_rng(2)
+    g = np.zeros((256, 14), np.float32)
+    g[:, 0:3] = rng.normal(0, 0.3, (256, 3))
+    g[:, 3] = 0.9
+    g[:, 4:7] = 0.05
+    g[:, 7] = 1.0
+    g[:, 11:14] = rng.uniform(0, 1, (256, 3))
+    state = ViewerState(g, size=64)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_viewer_serves_page(viewer_server):
+    with urllib.request.urlopen(viewer_server + "/") as r:
+        body = r.read().decode()
+    assert r.status == 200
+    assert "lgm_tpu viewer" in body and "X-Render-Ms" in body
+
+
+def test_viewer_renders_frame_with_timing(viewer_server):
+    url = viewer_server + "/render?el=10&az=30&radius=1.5&fovy=49.1&scale=1"
+    with urllib.request.urlopen(url) as r:
+        data = r.read()
+    assert r.status == 200
+    assert r.headers["Content-Type"] == "image/jpeg"
+    assert float(r.headers["X-Render-Ms"]) > 0  # the gui.py:100-104 parity
+    assert data[:2] == b"\xff\xd8"  # JPEG magic
+    # Alpha mode renders too, and a different pose gives different bytes.
+    with urllib.request.urlopen(url + "&mode=alpha") as r2:
+        alpha = r2.read()
+    assert alpha[:2] == b"\xff\xd8"
+    with urllib.request.urlopen(
+        viewer_server + "/render?el=-30&az=200&radius=2.0"
+    ) as r3:
+        other = r3.read()
+    assert other != data
+
+
+def test_viewer_404(viewer_server):
+    try:
+        urllib.request.urlopen(viewer_server + "/nope")
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised

@@ -140,10 +140,31 @@ class LVISMVData:
     def __len__(self):
         return len(self.items)
 
-    def _load_scene(self, uid: str, rng: np.random.Generator):
+    @staticmethod
+    def _read_composited(ipath: str) -> Optional[np.ndarray]:
+        """White-bg composited RGB [H, W, 3]: native C++ decode when it
+        builds (lgm_tpu.native.decode_rgba; the provider's hot-path
+        runtime), cv2 otherwise. None when unreadable."""
+        from lgm_tpu.data.provider import _composite_rgba, _use_native_loader
+
+        if _use_native_loader():
+            from lgm_tpu import native
+
+            rgba = native.decode_rgba(ipath)
+            if rgba is None:
+                return None
+            a = rgba[..., 3:4]
+            return rgba[..., :3] * a + (1.0 - a)
         import cv2
 
-        from lgm_tpu.data.provider import _composite_rgba
+        img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            return None
+        rgb, _ = _composite_rgba(img.astype(np.float32) / 255.0)
+        return rgb
+
+    def _load_scene(self, uid: str, rng: np.random.Generator):
+        import cv2
 
         views = []
         for cpath in sorted(glob.glob(os.path.join(uid, "*.npy"))):
@@ -164,8 +185,9 @@ class LVISMVData:
             d = np.abs((azs - want + 180.0) % 360.0 - 180.0)
             i = int(np.argmin(d))
             ipath, el, az = views[i]
-            img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
-            rgb, _ = _composite_rgba(img.astype(np.float32) / 255.0)
+            rgb = self._read_composited(ipath)
+            if rgb is None:
+                raise RuntimeError(f"unreadable view {ipath}")
             if rgb.shape[0] != self.image_size:
                 rgb = cv2.resize(rgb, (self.image_size, self.image_size),
                                  interpolation=cv2.INTER_AREA)

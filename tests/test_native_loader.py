@@ -153,3 +153,35 @@ def test_provider_path_parity(tmp_path):
             s_native[k], s_py[k], atol=3e-3,
             err_msg=f"mismatch in {k}",
         )
+
+
+def test_diffusion_lvis_data_native_parity(tmp_path):
+    """LVISMVData decodes through the native runtime; frames must match
+    the cv2 fallback path."""
+    import cv2
+
+    from lgm_tpu.diffusion.data import LVISMVData
+
+    scene = tmp_path / "00000-09999" / "apple_pie"
+    os.makedirs(scene)
+    rng = np.random.default_rng(21)
+    for v in range(4):
+        rgba = rng.uniform(0, 1, (48, 48, 4)).astype(np.float32)
+        rgba[..., 3] = (rgba[..., 3] > 0.4).astype(np.float32)
+        cv2.imwrite(str(scene / f"{v:03d}.png"),
+                    (rgba[..., [2, 1, 0, 3]] * 255).astype(np.uint8))
+        np.save(scene / f"{v:03d}.npy",
+                {"elevation": 5.0 * v, "azimuth": 90.0 * v, "radius": 1.5})
+
+    ds = LVISMVData(str(tmp_path), num_frames=4, image_size=32,
+                    training=False)
+    os.environ["LGM_TPU_NATIVE_LOADER"] = "1"
+    b_native = ds.batch(0, 1)
+    os.environ["LGM_TPU_NATIVE_LOADER"] = "0"
+    try:
+        b_py = ds.batch(0, 1)
+    finally:
+        del os.environ["LGM_TPU_NATIVE_LOADER"]
+    np.testing.assert_allclose(b_native["images"], b_py["images"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(b_native["camera"], b_py["camera"])

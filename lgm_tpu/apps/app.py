@@ -188,7 +188,7 @@ _FORM = """<!doctype html><html><body style="font-family:monospace">
 </body></html>"""
 
 
-def launch_stdlib(state: AppState, port: int):
+def _make_stdlib_handler(state: AppState):
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -259,7 +259,12 @@ def launch_stdlib(state: AppState, port: int):
                 f'<a href="/files/{os.path.basename(mp4)}">video</a>'
             )
 
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return Handler
+
+
+def launch_stdlib(state: AppState, port: int):
+    httpd = ThreadingHTTPServer(("0.0.0.0", port),
+                                _make_stdlib_handler(state))
     print(f"app on http://localhost:{port} (stdlib fallback; "
           f"install gradio for the full UI)")
     httpd.serve_forever()

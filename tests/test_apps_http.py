@@ -62,3 +62,59 @@ def test_viewer_404(viewer_server):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+@pytest.fixture(scope="module")
+def app_server():
+    from lgm_tpu.apps.app import AppState, _make_stdlib_handler
+    from lgm_tpu.config import get_config
+
+    opt = get_config("nano").replace(num_input_views=4)
+    state = AppState(opt, resume=None, diffusion_ckpt=None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                _make_stdlib_handler(state))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_app_serves_form(app_server):
+    with urllib.request.urlopen(app_server + "/") as r:
+        body = r.read().decode()
+    assert r.status == 200 and "form" in body
+
+
+def test_app_mv_upload_roundtrip(app_server):
+    """POST 4 views -> LGM forward -> ply + orbit video land in /files/."""
+    import cv2
+
+    rng = np.random.default_rng(4)
+    parts = []
+    boundary = "xXbOuNdArYxX"
+    for i in range(4):
+        img = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; '
+            f'name="v{i}"; filename="v{i}.png"\r\n'
+            f"Content-Type: image/png\r\n\r\n".encode()
+            + buf.tobytes() + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        app_server + "/", data=body, method="POST",
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = r.read().decode()
+    assert "done" in out and ".ply" in out
+
+    with urllib.request.urlopen(app_server + "/files/") as r:
+        listing = r.read().decode()
+    assert "upload.ply" in listing and "upload.mp4" in listing
+    with urllib.request.urlopen(app_server + "/files/upload.ply") as r:
+        ply = r.read()
+    assert ply.startswith(b"ply")

@@ -329,7 +329,11 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Torch Conv2d(3, stride=2, padding=1) pads (1,1); Flax "SAME" at
+        # stride 2 pads (0,1) — explicit padding keeps checkpoint parity
+        # (ref: mvdream/mv_unet.py:481-505).
         return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="op")(x)
 
 

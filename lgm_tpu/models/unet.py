@@ -155,7 +155,12 @@ class DownBlock(nn.Module):
                                 name=f"attn{i}")(x)
             skips.append(x)
         if self.downsample:
+            # Explicit (1,1) padding: torch's Conv2d(3, stride=2, padding=1)
+            # pads symmetrically, while Flax "SAME" at stride 2 pads (0,1) —
+            # a one-pixel shift that breaks checkpoint parity (caught by
+            # tests/test_golden_unet.py against the reference torch U-Net).
             x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="down")(x)
             skips.append(x)
         return x, skips

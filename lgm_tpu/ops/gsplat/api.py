@@ -42,8 +42,11 @@ def render_views(
       scale_modifier: multiplier on Gaussian scales (ref: core/gs.py:31).
       backend: "auto" | "pallas" | "xla".
 
-    Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]) and
-    ``alpha`` [B, V, S, S, 1] — NHWC, unlike the reference's NCHW.
+    Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]),
+    ``alpha`` [B, V, S, S, 1] and — for the ``pallas``/``xla`` backends —
+    ``depth`` [B, V, S, S, 1] (alpha-weighted accumulated camera-space z,
+    the reference rasterizer fork's extra channel) — NHWC, unlike the
+    reference's NCHW.
     """
     B, V = cam_view.shape[:2]
     if bg_color is None:
@@ -81,8 +84,10 @@ def render_views(
         out = per_scene(gaussians, cam_view, bg)
 
     image = jnp.clip(out["image"], 0.0, 1.0)
-    alpha = out["alpha"][..., None]
-    return {"image": image, "alpha": alpha}
+    result = {"image": image, "alpha": out["alpha"][..., None]}
+    if "depth" in out:
+        result["depth"] = out["depth"][..., None]
+    return result
 
 
 def render(
@@ -104,7 +109,10 @@ def render(
         scale_modifier,
         backend,
     )
-    return {
+    result = {
         "image": out["image"][0, 0],
         "alpha": out["alpha"][0, 0, ..., 0],
     }
+    if "depth" in out:
+        result["depth"] = out["depth"][0, 0, ..., 0]
+    return result

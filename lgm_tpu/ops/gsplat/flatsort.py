@@ -361,7 +361,10 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
     go = go_ref[0]
     T_final = fo[4:5, :]
     gT = go[4:5, :]
-    U_total = jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)  # [1, P]
+    # U = sum_i s_i w_i over ALL accumulated channels: rgb+alpha (rows
+    # 0:4) and depth (row 5). Row 4 is T, handled by the gT term.
+    U_total = (jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)
+               + go[5:6] * fo[5:6])  # [1, P]
 
     for k in range(NC):
         live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
@@ -418,7 +421,9 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
             zeros_row = jnp.zeros((1, G_CHUNK), jnp.float32)
             dblk = jnp.concatenate(
                 [dcoef[0:6], dop, zeros_row, dcol[0:3],
-                 jnp.zeros((5, G_CHUNK), jnp.float32)], axis=0,
+                 jnp.zeros((2, G_CHUNK), jnp.float32),
+                 dcol[5:6],  # row 13: depth channel cotangent
+                 jnp.zeros((2, G_CHUNK), jnp.float32)], axis=0,
             )  # [16, G]
             dparams_ref[0, k] = dblk
 
@@ -564,11 +569,14 @@ def render_flatsort(
     inv_perm = checkpoint_name(meta.rank, CKPT_NAME)
 
     # Per-gaussian attributes, reordered to depth-rank rows (+ zero pad
-    # row), then gathered per slot by rank.
+    # row), then gathered per slot by rank. Camera-space z rides along so
+    # the composite can emit the accumulated-depth channel (the reference
+    # CUDA fork's extra output; ref: core/gs.py:7-10).
     attrs = jnp.concatenate(
-        [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color],
+        [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color,
+         proj.depth[:, None]],
         axis=1,
-    )  # [N, 9]
+    )  # [N, 10]
     attrs = _permute_rows(attrs, meta.order, inv_perm)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
     a = checkpoint_name(_gather_entries(attrs, fr), CKPT_NAME)
@@ -587,8 +595,9 @@ def render_flatsort(
         A * mx + B * my, C * my + B * mx,
         -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my),
         op, zeros, a[:, 6], a[:, 7], a[:, 8], ones,
-        zeros, zeros, zeros, zeros,
-    ]
+        zeros, a[:, 9], zeros, zeros,
+    ]  # row 13 = z: the 8-row color contraction emits sum w*z at acc
+    # row 5 for free (row 12 stays zero — the output's T row)
     params_flat = jnp.stack(rows, axis=-1)           # [T*MPT, 16]
     params = params_flat.reshape(T, NC, G_CHUNK, N_ROWS).transpose(
         0, 1, 3, 2
@@ -600,13 +609,13 @@ def render_flatsort(
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     if channels_first:
         out = out.transpose(2, 0, 3, 1, 4).reshape(8, S, S)
-        rgb, alpha, Tf = out[0:3], out[3], out[4]
+        rgb, alpha, Tf, depth = out[0:3], out[3], out[4], out[5]
         image = rgb + Tf[None] * bg_color[:, None, None]
-        return {"image": image, "alpha": alpha}
+        return {"image": image, "alpha": alpha, "depth": depth}
     out = out.transpose(0, 3, 1, 4, 2).reshape(S, S, 8)
     rgb, alpha, Tf = out[..., 0:3], out[..., 3], out[..., 4]
     image = rgb + Tf[..., None] * bg_color[None, None, :]
-    return {"image": image, "alpha": alpha}
+    return {"image": image, "alpha": alpha, "depth": out[..., 5]}
 
 
 def render_views_flatsort(
@@ -657,4 +666,5 @@ def render_views_flatsort(
     return {
         "image": image,
         "alpha": out["alpha"].reshape(B, V, S, S),
+        "depth": out["depth"].reshape(B, V, S, S),
     }

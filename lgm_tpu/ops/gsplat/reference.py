@@ -31,7 +31,12 @@ def composite_depth_sorted(
     proj: Projected, image_size: int, chunk: int = 512
 ):
     """Front-to-back composite depth-sorted screen Gaussians over the full
-    image. Returns (rgb [S, S, 3], alpha [S, S]).
+    image. Returns (rgb [S, S, 3], alpha [S, S], depth [S, S], T [S, S]).
+
+    ``depth`` is the alpha-weighted accumulated camera-space depth
+    sum_i w_i * z_i (the reference's CUDA fork adds exactly this depth
+    channel to the stock 3DGS rasterizer; ref: core/gs.py:7-10 import of
+    the ashawkey diff-gaussian-rasterization fork).
     """
     S = image_size
     N = proj.mean2d.shape[0]
@@ -46,6 +51,7 @@ def composite_depth_sorted(
     conic = proj.conic[order]
     color = proj.color[order]
     opacity = proj.opacity[order]
+    zdepth = proj.depth[order]
     active = active[order]
 
     px = jnp.arange(S, dtype=jnp.float32)
@@ -61,6 +67,7 @@ def composite_depth_sorted(
         conic = jnp.pad(conic, ((0, pad), (0, 0)), constant_values=1.0)
         color = jnp.pad(color, ((0, pad), (0, 0)))
         opacity = jnp.pad(opacity, ((0, pad),))
+        zdepth = jnp.pad(zdepth, ((0, pad),))
         active = jnp.pad(active, ((0, pad),))
     n_chunks = (N + pad) // chunk
 
@@ -68,12 +75,12 @@ def composite_depth_sorted(
         return x.reshape((n_chunks, chunk) + x.shape[1:])
 
     chunks = jax.tree.map(
-        reshape_chunks, (mean2d, conic, color, opacity, active)
+        reshape_chunks, (mean2d, conic, color, opacity, zdepth, active)
     )
 
     def body(carry, ch):
-        T, rgb_acc, a_acc = carry
-        mean2d, conic, color, opacity, act = ch
+        T, rgb_acc, a_acc, d_acc = carry
+        mean2d, conic, color, opacity, zdepth, act = ch
         dx = pxs[None, :] - mean2d[:, 0:1]  # [G, P]
         dy = pys[None, :] - mean2d[:, 1:2]
         power = (
@@ -89,16 +96,19 @@ def composite_depth_sorted(
         w = alpha * t_excl * T[None, :]  # [G, P]
         rgb_acc = rgb_acc + w.T @ color  # [P, 3]
         a_acc = a_acc + jnp.sum(w, axis=0)
+        d_acc = d_acc + jnp.sum(w * zdepth[:, None], axis=0)
         T = T * cp[-1]
-        return (T, rgb_acc, a_acc), None
+        return (T, rgb_acc, a_acc, d_acc), None
 
     init = (
         jnp.ones((P,), jnp.float32),
         jnp.zeros((P, 3), jnp.float32),
         jnp.zeros((P,), jnp.float32),
+        jnp.zeros((P,), jnp.float32),
     )
-    (T, rgb, alpha), _ = jax.lax.scan(body, init, chunks)
-    return rgb.reshape(S, S, 3), alpha.reshape(S, S), T.reshape(S, S)
+    (T, rgb, alpha, depth), _ = jax.lax.scan(body, init, chunks)
+    return (rgb.reshape(S, S, 3), alpha.reshape(S, S),
+            depth.reshape(S, S), T.reshape(S, S))
 
 
 def render_reference(
@@ -112,13 +122,17 @@ def render_reference(
 ):
     """Render one view of packed Gaussians [N, 14].
 
-    Returns dict with ``image`` [S, S, 3] (bg-composited, unclamped) and
-    ``alpha`` [S, S]. Matches the CUDA call contract of core/gs.py:73-98
-    but in NHWC with no B/V python loops (batch via vmap in api.py).
+    Returns dict with ``image`` [S, S, 3] (bg-composited, unclamped),
+    ``alpha`` [S, S] and ``depth`` [S, S] (accumulated w·z). Matches the
+    CUDA call contract of core/gs.py:73-98 (whose rasterizer fork returns
+    image, radii, depth, alpha) but in NHWC with no B/V python loops
+    (batch via vmap in api.py).
     """
     proj = project_gaussians(
         gaussians, view, image_size, tan_half_fov, scale_modifier
     )
-    rgb, alpha, T = composite_depth_sorted(proj, image_size, chunk=chunk)
+    rgb, alpha, depth, T = composite_depth_sorted(
+        proj, image_size, chunk=chunk
+    )
     image = rgb + T[..., None] * bg_color[None, None, :]
-    return {"image": image, "alpha": alpha}
+    return {"image": image, "alpha": alpha, "depth": depth}

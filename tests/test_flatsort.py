@@ -41,6 +41,52 @@ def test_flatsort_matches_reference():
                                np.asarray(ref["image"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(fla["alpha"]),
                                np.asarray(ref["alpha"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fla["depth"]),
+                               np.asarray(ref["depth"]), atol=3e-3)
+
+
+def test_depth_channel_semantics():
+    """One opaque splat in front of the camera: accumulated depth at the
+    center pixel ~= alpha * camera-space z (the reference fork's
+    accumulated w*z depth convention)."""
+    g = np.zeros((1, 14), np.float32)
+    g[0, 3] = 1.0          # opacity
+    g[0, 4:7] = 0.05       # scale
+    g[0, 7] = 1.0          # identity quat
+    g[0, 11:14] = 0.5
+    view = view_of(0.0, 0.0)
+    S = 32
+    ref = render_reference(jnp.asarray(g), view, S, TAN, jnp.zeros(3))
+    fla = render_flatsort(jnp.asarray(g), view, S, TAN, jnp.zeros(3),
+                          tile_h=8, tile_w=32, dup=16, interpret=True)
+    c = S // 2
+    a = float(ref["alpha"][c, c])
+    assert a > 0.5
+    # Camera at radius 1.5 looking at the origin -> z ~= 1.5.
+    np.testing.assert_allclose(float(ref["depth"][c, c]), a * 1.5,
+                               rtol=0.05)
+    np.testing.assert_allclose(np.asarray(fla["depth"]),
+                               np.asarray(ref["depth"]), atol=1e-3)
+
+
+def test_depth_channel_grad():
+    """Gradients flow from a depth-only loss back to Gaussian positions
+    (the backward's U_total must include the depth channel)."""
+    g, view = scene(60, seed=11), view_of()
+    S = 32
+
+    def loss_d(gs, render):
+        o = render(gs)
+        return jnp.mean(o["depth"] ** 2)
+
+    ref_fn = lambda gs: render_reference(gs, view, S, TAN, jnp.zeros(3))
+    fla_fn = lambda gs: render_flatsort(
+        gs, view, S, TAN, jnp.zeros(3), tile_h=8, tile_w=32, dup=16,
+        interpret=True)
+    g1 = np.asarray(jax.grad(loss_d)(g, ref_fn))
+    g2 = np.asarray(jax.grad(loss_d)(g, fla_fn))
+    assert np.abs(g1).max() > 0
+    np.testing.assert_allclose(g2, g1, atol=2e-3 * np.abs(g1).max())
 
 
 def test_flatsort_dup_overflow_drops_tiles():

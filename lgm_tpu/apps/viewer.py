@@ -33,7 +33,7 @@ _PAGE = """<!doctype html>
 <div id="hud">
   <div id="stats">-</div>
   <label>mode <select id="mode"><option>image</option><option>alpha</option>
-  </select></label>
+  <option>depth</option></select></label>
   <label>fovy <input id="fovy" type="range" min="20" max="90" value="49.1"
    step="0.1"></label>
   <label>scale <input id="scale" type="range" min="0.05" max="2" value="1"
@@ -112,6 +112,17 @@ class ViewerState:
         if mode == "alpha":
             a = np.asarray(out["alpha"][0, 0, :, :, 0])
             return np.repeat(a[..., None], 3, axis=-1)
+        if mode == "depth" and "depth" in out:
+            # Alpha-normalized depth, mapped to [0,1] over [znear, zfar]
+            # (the mode the reference GUI lacks; enabled by the
+            # rasterizer's depth channel).
+            a = np.asarray(out["alpha"][0, 0, :, :, 0])
+            d = np.asarray(out["depth"][0, 0, :, :, 0])
+            d = np.where(a > 1e-3, d / np.maximum(a, 1e-6), self.zfar)
+            d = 1.0 - np.clip(
+                (d - self.znear) / (self.zfar - self.znear), 0, 1
+            )
+            return np.repeat(d[..., None], 3, axis=-1)
         return np.asarray(out["image"][0, 0])
 
 

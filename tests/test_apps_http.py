@@ -44,10 +44,14 @@ def test_viewer_renders_frame_with_timing(viewer_server):
     assert r.headers["Content-Type"] == "image/jpeg"
     assert float(r.headers["X-Render-Ms"]) > 0  # the gui.py:100-104 parity
     assert data[:2] == b"\xff\xd8"  # JPEG magic
-    # Alpha mode renders too, and a different pose gives different bytes.
+    # Alpha and depth modes render too, and a different pose gives
+    # different bytes.
     with urllib.request.urlopen(url + "&mode=alpha") as r2:
         alpha = r2.read()
     assert alpha[:2] == b"\xff\xd8"
+    with urllib.request.urlopen(url + "&mode=depth") as rd:
+        depth = rd.read()
+    assert depth[:2] == b"\xff\xd8"
     with urllib.request.urlopen(
         viewer_server + "/render?el=-30&az=200&radius=2.0"
     ) as r3:

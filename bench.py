@@ -67,9 +67,15 @@ def _bench_chained(jax, jnp, render_fn, g, iters, overhead):
         return jax.lax.fori_loop(0, iters, body, (gs, 0.0))[1]
 
     float(rep(g))  # compile + warm
-    t0 = time.time()
-    float(rep(g))
-    return max((time.time() - t0 - overhead) / iters, 1e-9)
+    # Best-of-3: the tunnel's round-trip latency varies run-to-run by
+    # ±30% and occasionally degrades by integer factors after a broken
+    # remote-compile session; min over repeats rejects those outliers.
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(rep(g))
+        ts.append(time.time() - t0)
+    return max((min(ts) - overhead) / iters, 1e-9)
 
 
 def main():

@@ -170,6 +170,9 @@ class LGMWithLoss(nn.Module):
             tan_half_fov,
             bg_color=bg,
             backend=self.rasterizer_backend,
+            # The loss reads image+alpha only; skipping depth keeps z out
+            # of the rasterizer backward's per-slot scatter-add.
+            with_depth=False,
         )
         pred_images = rendered["image"]   # [B, V, S, S, 3]
         pred_alphas = rendered["alpha"]   # [B, V, S, S, 1]

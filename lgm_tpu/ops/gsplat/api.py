@@ -29,6 +29,7 @@ def render_views(
     bg_color: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     backend: str = "auto",
+    with_depth: bool = True,
 ):
     """Render [B, V] views of per-scene Gaussians.
 
@@ -41,6 +42,9 @@ def render_views(
         (ref: core/gs.py:20).
       scale_modifier: multiplier on Gaussian scales (ref: core/gs.py:31).
       backend: "auto" | "pallas" | "xla".
+      with_depth: emit the depth channel. The training loss never reads
+        it; passing False keeps z out of the Pallas backend's per-slot
+        gather/scatter (~10% off the backward scatter-add).
 
     Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]),
     ``alpha`` [B, V, S, S, 1] and — for the ``pallas``/``xla`` backends —
@@ -60,7 +64,8 @@ def render_views(
         from lgm_tpu.ops.gsplat.flatsort import render_views_flatsort
 
         out = render_views_flatsort(
-            gaussians, cam_view, image_size, tan_half_fov, bg, scale_modifier
+            gaussians, cam_view, image_size, tan_half_fov, bg,
+            scale_modifier, with_depth=with_depth,
         )
     elif backend == "pallas_v1":
         from lgm_tpu.ops.gsplat.tiled import render_views_tiled
@@ -85,7 +90,7 @@ def render_views(
 
     image = jnp.clip(out["image"], 0.0, 1.0)
     result = {"image": image, "alpha": out["alpha"][..., None]}
-    if "depth" in out:
+    if with_depth and "depth" in out:
         result["depth"] = out["depth"][..., None]
     return result
 

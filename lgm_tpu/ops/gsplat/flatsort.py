@@ -535,13 +535,19 @@ def render_flatsort(
     max_per_tile: int = 1024,
     interpret: bool = False,
     channels_first: bool = False,
+    with_depth: bool = True,
 ):
     """Render one view via the flat-sort pipeline. Returns
-    dict(image [S, S, 3] unclamped, alpha [S, S]); with
-    ``channels_first`` the image is [3, S, S] — used by the batched path
-    so the lax.map accumulator and remat residuals keep a minor dim of S
-    (a [.., S, S, 3] loop buffer is stored (8,128)-tiled on its 3-wide
-    minor dim, a 42x padding blow-up)."""
+    dict(image [S, S, 3] unclamped, alpha [S, S], and depth [S, S] when
+    ``with_depth``); with ``channels_first`` the image is [3, S, S] —
+    used by the batched path so the lax.map accumulator and remat
+    residuals keep a minor dim of S (a [.., S, S, 3] loop buffer is
+    stored (8,128)-tiled on its 3-wide minor dim, a 42x padding blow-up).
+
+    ``with_depth=False`` keeps camera-space z out of the per-slot
+    attribute gather (9 instead of 10 columns), shaving ~10% off the
+    backward's [T*MPT, C] scatter-add — the training path, which never
+    reads depth, uses it."""
     S = image_size
     assert S % tile_h == 0 and S % tile_w == 0
     tiles_y, tiles_x = S // tile_h, S // tile_w
@@ -569,14 +575,14 @@ def render_flatsort(
     inv_perm = checkpoint_name(meta.rank, CKPT_NAME)
 
     # Per-gaussian attributes, reordered to depth-rank rows (+ zero pad
-    # row), then gathered per slot by rank. Camera-space z rides along so
-    # the composite can emit the accumulated-depth channel (the reference
-    # CUDA fork's extra output; ref: core/gs.py:7-10).
-    attrs = jnp.concatenate(
-        [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color,
-         proj.depth[:, None]],
-        axis=1,
-    )  # [N, 10]
+    # row), then gathered per slot by rank. With ``with_depth``,
+    # camera-space z rides along so the composite can emit the
+    # accumulated-depth channel (the reference CUDA fork's extra output;
+    # ref: core/gs.py:7-10).
+    cols = [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color]
+    if with_depth:
+        cols.append(proj.depth[:, None])
+    attrs = jnp.concatenate(cols, axis=1)  # [N, 9 or 10]
     attrs = _permute_rows(attrs, meta.order, inv_perm)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
     a = checkpoint_name(_gather_entries(attrs, fr), CKPT_NAME)
@@ -595,7 +601,7 @@ def render_flatsort(
         A * mx + B * my, C * my + B * mx,
         -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my),
         op, zeros, a[:, 6], a[:, 7], a[:, 8], ones,
-        zeros, a[:, 9], zeros, zeros,
+        zeros, a[:, 9] if with_depth else zeros, zeros, zeros,
     ]  # row 13 = z: the 8-row color contraction emits sum w*z at acc
     # row 5 for free (row 12 stays zero — the output's T row)
     params_flat = jnp.stack(rows, axis=-1)           # [T*MPT, 16]
@@ -609,13 +615,19 @@ def render_flatsort(
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     if channels_first:
         out = out.transpose(2, 0, 3, 1, 4).reshape(8, S, S)
-        rgb, alpha, Tf, depth = out[0:3], out[3], out[4], out[5]
+        rgb, alpha, Tf = out[0:3], out[3], out[4]
         image = rgb + Tf[None] * bg_color[:, None, None]
-        return {"image": image, "alpha": alpha, "depth": depth}
+        result = {"image": image, "alpha": alpha}
+        if with_depth:
+            result["depth"] = out[5]
+        return result
     out = out.transpose(0, 3, 1, 4, 2).reshape(S, S, 8)
     rgb, alpha, Tf = out[..., 0:3], out[..., 3], out[..., 4]
     image = rgb + Tf[..., None] * bg_color[None, None, :]
-    return {"image": image, "alpha": alpha, "depth": out[..., 5]}
+    result = {"image": image, "alpha": alpha}
+    if with_depth:
+        result["depth"] = out[..., 5]
+    return result
 
 
 def render_views_flatsort(
@@ -630,6 +642,7 @@ def render_views_flatsort(
     dup: int = 16,
     max_per_tile: int = 1024,
     interpret: bool = False,
+    with_depth: bool = True,
 ):
     """All [B, V] views, sequential lax.map with rematerialization.
 
@@ -652,7 +665,7 @@ def render_views_flatsort(
         return render_flatsort(
             g, v, image_size, tan_half_fov, b, scale_modifier,
             tile_h, tile_w, dup, max_per_tile, interpret,
-            channels_first=True,
+            channels_first=True, with_depth=with_depth,
         )
 
     out = jax.lax.map(one, (sidx, v_flat, bg_flat))
@@ -663,8 +676,10 @@ def render_views_flatsort(
     # TPU ((8,128) tiling over a 3-wide minor dim).
     S = image_size
     image = out["image"].reshape(B, V, 3, S, S).transpose(0, 1, 3, 4, 2)
-    return {
+    result = {
         "image": image,
         "alpha": out["alpha"].reshape(B, V, S, S),
-        "depth": out["depth"].reshape(B, V, S, S),
     }
+    if with_depth:
+        result["depth"] = out["depth"].reshape(B, V, S, S)
+    return result

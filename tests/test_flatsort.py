@@ -69,6 +69,21 @@ def test_depth_channel_semantics():
                                np.asarray(ref["depth"]), atol=1e-3)
 
 
+def test_with_depth_false_drops_channel_and_matches():
+    """The training path renders with with_depth=False: no depth key,
+    image/alpha identical to the depth-enabled render."""
+    g, view = scene(), view_of()
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    kw = dict(tile_h=16, tile_w=16, dup=16, interpret=True)
+    full = render_flatsort(g, view, 64, TAN, bg, **kw)
+    lean = render_flatsort(g, view, 64, TAN, bg, with_depth=False, **kw)
+    assert "depth" not in lean
+    np.testing.assert_allclose(np.asarray(lean["image"]),
+                               np.asarray(full["image"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lean["alpha"]),
+                               np.asarray(full["alpha"]), atol=1e-6)
+
+
 def test_depth_channel_grad():
     """Gradients flow from a depth-only loss back to Gaussian positions
     (the backward's U_total must include the depth channel)."""

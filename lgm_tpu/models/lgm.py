@@ -33,20 +33,32 @@ from lgm_tpu.parallel.mesh import gather_gaussians
 
 
 def activate_gaussians(x: jnp.ndarray) -> jnp.ndarray:
-    """Per-attribute activations on raw U-Net output [..., 14]
+    """Per-attribute activations on raw U-Net output [..., N, 14]
     (ref: core/models.py:40-44): pos clamp(-1,1) | opacity sigmoid |
-    scale 0.1*softplus | quat l2-normalize | rgb 0.5*tanh+0.5."""
+    scale 0.1*softplus | rgb 0.5*tanh+0.5.
+
+    Rotation (exact reference semantics, REQUIRED for checkpoint
+    parity): the reference's ``rot_act = F.normalize`` uses torch's
+    default ``dim=1``, which on the [B, N, 4] quat slice normalizes each
+    COMPONENT across the N Gaussians — not each quaternion (ref:
+    core/models.py:43,112; same in core/models_lvis.py:46,116). The
+    resulting per-quat norms are ~1/sqrt(N), and the CUDA rasterizer
+    consumes them raw through the unit-quat formula (so trained
+    checkpoints have near-identity rotations compensated by scale).
+    Caught by the golden fixture tests/golden/lgm_tiny.npz: per-quat
+    normalization renders differently from converted checkpoints. The
+    Gaussian axis must therefore be axis -2 here.
+    """
     pos = jnp.clip(x[..., 0:3], -1.0, 1.0)
     opacity = jax.nn.sigmoid(x[..., 3:4])
     scale = 0.1 * jax.nn.softplus(x[..., 4:7])
     rot = x[..., 7:11]
-    # NaN-safe normalization: jnp.linalg.norm's gradient at exactly 0 is
-    # NaN (0/0), and rot IS exactly 0 under zero input with the zero-init
-    # output bias — the smoothed norm keeps fwd parity (differs only
-    # below 1e-8) with a finite gradient everywhere.
-    rot = rot * jax.lax.rsqrt(
-        jnp.sum(rot * rot, axis=-1, keepdims=True) + 1e-16
-    )
+    # F.normalize(v) = v / max(||v||_2, eps), eps = 1e-12, over axis -2.
+    # Double-where keeps the gradient finite at an exactly-zero column
+    # (jnp.sqrt'(0) is inf; torch defines the norm's grad there as 0).
+    sq = jnp.sum(rot * rot, axis=-2, keepdims=True)
+    norm = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+    rot = rot / jnp.maximum(norm, 1e-12)
     rgb = 0.5 * jnp.tanh(x[..., 11:14]) + 0.5
     return jnp.concatenate([pos, opacity, scale, rot, rgb], axis=-1)
 

@@ -48,8 +48,13 @@ class Projected(NamedTuple):
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion (w, x, y, z) [..., 4] -> rotation matrix [..., 3, 3]."""
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    """Quaternion (w, x, y, z) [..., 4] -> matrix [..., 3, 3] via the
+    unit-quat formula on the RAW values — matching the reference CUDA
+    rasterizer, which does not normalize (and the reference model's
+    F.normalize(dim=1) activation leaves per-quat norms ~1/sqrt(N); see
+    project_gaussians' rotation note and models/lgm.py). Exact rotation
+    for unit input; near-identity for the near-zero quats of trained
+    reference checkpoints."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.stack(
         [
@@ -126,11 +131,16 @@ def project_gaussians(
     txz = jnp.clip(tx / zs, -lim, lim) * zs
     tyz = jnp.clip(ty / zs, -lim, lim) * zs
 
-    # Rotation matrix entries from the (normalized) quaternion.
-    qn = jax.lax.rsqrt(
-        jnp.maximum(qw * qw + qx * qx + qy * qy + qz * qz, 1e-16)
-    )
-    qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
+    # Rotation-matrix entries from the quaternion AS GIVEN (no
+    # normalization): the reference's CUDA rasterizer consumes the raw
+    # quaternion through the unit-quat formula (its Python side is
+    # expected to normalize — but LGM's rot activation is F.normalize
+    # with torch's default dim=1, which on [B, N, 4] normalizes each
+    # component across the N Gaussians, ref: core/models.py:43,112 —
+    # leaving per-quat norms ~1/sqrt(N), i.e. R ~ identity). Reproducing
+    # released-checkpoint renders requires consuming the same raw values
+    # here; see models/lgm.py::activate_gaussians. For unit quaternions
+    # (standard 3DGS PLYs) this is the exact rotation either way.
     r00 = 1 - 2 * (qy * qy + qz * qz)
     r01 = 2 * (qx * qy - qw * qz)
     r02 = 2 * (qx * qz + qw * qy)

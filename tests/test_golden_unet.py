@@ -60,6 +60,39 @@ def test_unet_matches_reference_torch(golden):
     )
 
 
+def test_lgm_forward_gaussians_matches_reference():
+    """Full forward_gaussians golden (ref: core/models.py:88-117):
+    U-Net + final 1x1 conv + view/pixel reshape ORDER + activation chain.
+    Fixture from scripts/gen_golden_lgm.py (reference torch on CPU)."""
+    from lgm_tpu.config import Options
+    from lgm_tpu.models.lgm import LGM
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "lgm_tiny.npz"))
+    sd = {k[len("sd/"):]: data[k] for k in data.files if k.startswith("sd/")}
+    x_ref, y_ref = data["input"], data["output"]
+
+    opt = Options(
+        input_size=16,
+        down_channels=(32, 64),
+        down_attention=(False, True),
+        mid_attention=True,
+        up_channels=(64, 32),
+        up_attention=(True, False),
+        splat_size=16,
+        num_input_views=4,
+        unet_remat=False,
+    )
+    model = LGM(opt, dtype=jnp.float32)
+    params = convert_state_dict(sd)
+    x = jnp.asarray(x_ref.transpose(0, 1, 3, 4, 2))  # NCHW -> NHWC
+    y = np.asarray(model.apply({"params": params}, x))
+
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    assert err.max() <= 1e-4, f"max abs err {err.max():.3e}"
+
+
 def test_converter_covers_reference_state_dict(golden):
     """Every reference tensor maps; every mapped leaf exists in our tree
     with the same shape (convert_state_dict raises on unmapped keys,

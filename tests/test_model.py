@@ -49,9 +49,13 @@ def test_activations():
     assert (np.abs(g[:, 0:3]) <= 1).all()          # pos clamp
     assert ((g[:, 3] > 0) & (g[:, 3] < 1)).all()   # opacity sigmoid
     assert (g[:, 4:7] > 0).all()                   # scale softplus
+    # Reference rot_act is F.normalize with torch's DEFAULT dim=1: each
+    # quat COMPONENT is normalized across the Gaussian axis (axis -2),
+    # not each quaternion (ref: core/models.py:43,112) — required for
+    # checkpoint parity, see models/lgm.py::activate_gaussians.
     np.testing.assert_allclose(
-        np.linalg.norm(g[:, 7:11], axis=1), 1.0, atol=1e-5
-    )                                              # unit quats
+        np.linalg.norm(g[:, 7:11], axis=0), 1.0, atol=1e-5
+    )
     assert ((g[:, 11:14] >= 0) & (g[:, 11:14] <= 1)).all()  # rgb
 
 

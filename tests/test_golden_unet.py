@@ -93,6 +93,99 @@ def test_lgm_forward_gaussians_matches_reference():
     assert err.max() <= 1e-4, f"max abs err {err.max():.3e}"
 
 
+def test_mv_unet_matches_reference_torch():
+    """Diffusion multi-view U-Net golden (ref: mvdream/mv_unet.py:
+    615-1005): timestep + camera embeddings, cross-view self-attention,
+    text cross-attention. Fixture from scripts/gen_golden_mvunet.py."""
+    from lgm_tpu.diffusion.mv_unet import MultiViewUNetModel
+    from lgm_tpu.tools.convert_diffusion import (convert_component,
+                                                 unet_torch_to_flax)
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "mvunet_tiny.npz"))
+    sd = {k[len("sd/"):]: data[k] for k in data.files if k.startswith("sd/")}
+
+    net = MultiViewUNetModel(
+        in_channels=4,
+        model_channels=32,
+        out_channels=4,
+        num_res_blocks=1,
+        attention_resolutions=(1, 2),
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        transformer_depth=1,
+        context_dim=32,
+        camera_dim=16,
+        ip_dim=0,
+        dtype=jnp.float32,
+    )
+    params = convert_component(sd, unet_torch_to_flax)
+    y = net.apply(
+        {"params": params},
+        jnp.asarray(data["x"].transpose(0, 2, 3, 1)),   # NCHW -> NHWC
+        jnp.asarray(data["t"]),
+        jnp.asarray(data["context"]),
+        4,
+        camera=jnp.asarray(data["camera"]),
+    )
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+    y_ref = data["output"]
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    scale = np.abs(y_ref).max()
+    assert err.max() <= 1e-4 * max(scale, 1.0) + 1e-5, (
+        f"max abs err {err.max():.3e} (ref scale {scale:.3e})"
+    )
+
+
+def test_mv_unet_ip_matches_reference_torch():
+    """ImageDream variant golden: Perceiver Resampler image embedding,
+    to_k_ip/to_v_ip attention branch, ip_img substituted as the last
+    frame (ref: mv_unet.py:731-741, 180-219, 988-991)."""
+    from lgm_tpu.diffusion.mv_unet import MultiViewUNetModel
+    from lgm_tpu.tools.convert_diffusion import (convert_component,
+                                                 unet_torch_to_flax)
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "mvunet_ip_tiny.npz"))
+    sd = {k[len("sd/"):]: data[k] for k in data.files if k.startswith("sd/")}
+
+    net = MultiViewUNetModel(
+        in_channels=4,
+        model_channels=32,
+        out_channels=4,
+        num_res_blocks=1,
+        attention_resolutions=(1, 2),
+        channel_mult=(1, 2),
+        num_head_channels=16,
+        transformer_depth=1,
+        context_dim=32,
+        camera_dim=16,
+        ip_dim=8,
+        ip_weight=1.0,
+        dtype=jnp.float32,
+    )
+    params = convert_component(sd, unet_torch_to_flax)
+    y = net.apply(
+        {"params": params},
+        jnp.asarray(data["x"].transpose(0, 2, 3, 1)),
+        jnp.asarray(data["t"]),
+        jnp.asarray(data["context"]),
+        5,
+        camera=jnp.asarray(data["camera"]),
+        ip=jnp.asarray(data["ip"]),
+        ip_img=jnp.asarray(data["ip_img"].transpose(0, 2, 3, 1)),
+    )
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+    y_ref = data["output"]
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    scale = np.abs(y_ref).max()
+    assert err.max() <= 1e-4 * max(scale, 1.0) + 1e-5, (
+        f"max abs err {err.max():.3e} (ref scale {scale:.3e})"
+    )
+
+
 def test_converter_covers_reference_state_dict(golden):
     """Every reference tensor maps; every mapped leaf exists in our tree
     with the same shape (convert_state_dict raises on unmapped keys,

@@ -41,13 +41,14 @@ _PAGE = """<!doctype html>
 </div>
 <img id="view" width="__SIZE__" height="__SIZE__"/>
 <script>
-let el=0, az=0, radius=1.5, busy=false, drag=false, lx=0, ly=0, pan=[0,0];
+let el=0, az=0, radius=1.5, busy=false, drag=0, lx=0, ly=0, pan=[0,0];
 const img=document.getElementById('view');
 const stats=document.getElementById('stats');
 async function refresh(){
   if(busy) return; busy=true;
   const t0=performance.now();
   const q=new URLSearchParams({el:el,az:az,radius:radius,
+    panx:pan[0],pany:pan[1],
     fovy:document.getElementById('fovy').value,
     scale:document.getElementById('scale').value,
     mode:document.getElementById('mode').value});
@@ -62,11 +63,17 @@ async function refresh(){
     `r ${radius.toFixed(2)}`;
   busy=false;
 }
-img.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
-window.onmouseup=()=>drag=false;
+img.onmousedown=e=>{
+  drag=(e.button===2||e.button===1||e.shiftKey)?2:1;
+  lx=e.clientX;ly=e.clientY;e.preventDefault();};
+img.oncontextmenu=e=>e.preventDefault();
+window.onmouseup=()=>drag=0;
 window.onmousemove=e=>{ if(!drag) return;
-  az-=(e.clientX-lx)*0.4; el+=(e.clientY-ly)*0.4;
-  el=Math.max(-89,Math.min(89,el)); lx=e.clientX; ly=e.clientY; refresh();};
+  const dx=e.clientX-lx, dy=e.clientY-ly;
+  if(drag===2){ // pan: right/middle/shift-drag, like gui.py:219-243
+    const s=0.002*radius; pan[0]-=dx*s; pan[1]+=dy*s;
+  } else { az-=dx*0.4; el+=dy*0.4; el=Math.max(-89,Math.min(89,el)); }
+  lx=e.clientX; ly=e.clientY; refresh();};
 img.onwheel=e=>{e.preventDefault();
   radius=Math.max(0.3,Math.min(5,radius*(1+e.deltaY*0.001))); refresh();};
 document.getElementById('fovy').oninput=refresh;
@@ -96,12 +103,20 @@ class ViewerState:
 
         self._render = _render
 
-    def frame(self, el, az, radius, fovy, scale, mode) -> np.ndarray:
+    def frame(self, el, az, radius, fovy, scale, mode,
+              panx=0.0, pany=0.0) -> np.ndarray:
         import jax.numpy as jnp
 
         from lgm_tpu.utils import camera
 
-        pose = camera.orbit_camera(el, az, radius)
+        # Pan shifts the orbit target in the camera's screen plane
+        # (world-unit offsets along the camera right/up axes), matching
+        # the reference GUI's middle-drag pan (ref: gui.py:219-243).
+        target = np.zeros(3, np.float32)
+        if panx or pany:
+            base = camera.orbit_camera(el, az, radius)
+            target = base[:3, 0] * panx + base[:3, 1] * pany
+        pose = camera.orbit_camera(el, az, radius, target=target)
         cams = camera.build_camera_inputs(pose[None], fovy, self.znear,
                                           self.zfar)
         tan = float(np.tan(0.5 * np.deg2rad(fovy)))
@@ -112,7 +127,14 @@ class ViewerState:
         if mode == "alpha":
             a = np.asarray(out["alpha"][0, 0, :, :, 0])
             return np.repeat(a[..., None], 3, axis=-1)
-        if mode == "depth" and "depth" in out:
+        if mode == "depth" and "depth" not in out:
+            # Never silently fall through to RGB (a user would mistake it
+            # for depth): mid-gray frame with a dark band signals
+            # "depth unavailable on this backend".
+            frame = np.full((self.size, self.size, 3), 0.5, np.float32)
+            frame[self.size // 2 - 8:self.size // 2 + 8] = 0.1
+            return frame
+        if mode == "depth":
             # Alpha-normalized depth, mapped to [0,1] over [znear, zfar]
             # (the mode the reference GUI lacks; enabled by the
             # rasterizer's depth channel).
@@ -148,6 +170,8 @@ def _make_handler(state: ViewerState):
                     float(q.get("radius", 1.5)),
                     float(q.get("fovy", 49.1)),
                     float(q.get("scale", 1.0)), q.get("mode", "image"),
+                    panx=float(q.get("panx", 0)),
+                    pany=float(q.get("pany", 0)),
                 )
                 ms = (time.perf_counter() - t0) * 1e3
                 import cv2

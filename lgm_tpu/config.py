@@ -45,12 +45,14 @@ class Options:
     resume: Optional[str] = None
     batch_size: int = 8          # per-replica batch
     gradient_accumulation_steps: int = 1
-    num_epochs: int = 30
     lambda_lpips: float = 1.0
     # Converted LPIPS VGG weights (.npz from tools/convert_lpips.py);
     # None keeps the deterministic random-VGG init (see models/lpips.py).
     lpips_weights: Optional[str] = None
     gradient_clip: float = 1.0
+    # Model compute dtype: "bf16" (reference training recipe,
+    # acc_configs/gpu8.yaml) or "fp32". Rasterizer + loss stay f32
+    # either way (see BENCHMARKS.md bf16-compositing note).
     mixed_precision: str = "bf16"
     lr: float = 4e-4
     prob_grid_distortion: float = 0.5
@@ -76,8 +78,9 @@ class Options:
     # Pallas tile size in pixels (rows x cols); cols aligned to TPU lanes.
     tile_h: int = 32
     tile_w: int = 32
-    # Max Gaussians binned per tile (static shape cap for XLA).
-    max_gaussians_per_tile: int = 2048
+    # Max Gaussians binned per tile (static shape cap for XLA); the
+    # measured default of the flatsort kernel (BENCHMARKS.md).
+    max_gaussians_per_tile: int = 1024
     # Rasterizer backend: "auto" | "pallas" | "xla".
     rasterizer: str = "auto"
 

@@ -51,6 +51,14 @@ def mixture_field(gaussians, pts, density_scale: float = 30.0):
     scl = jnp.maximum(gaussians[:, 4:7], 1e-4)
     quat = gaussians[:, 7:11]
     col = gaussians[:, 11:14]
+    # Normalize locally: the analytic density needs an orthonormal frame
+    # so that it matches the rendered covariance R S S^T R^T for
+    # arbitrary-norm quats (the renderer itself uses raw quats for
+    # reference parity, but trained-checkpoint quats are near-zero and
+    # their R ~ I either way — here exactness is cheap, so take it).
+    quat = quat / jnp.maximum(
+        jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-8
+    )
     R = quat_to_rotmat(quat)  # [N, 3, 3]
 
     d = pts[:, None, :] - pos[None, :, :]          # [M, N, 3]

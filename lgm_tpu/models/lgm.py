@@ -185,6 +185,9 @@ class LGMWithLoss(nn.Module):
             # The loss reads image+alpha only; skipping depth keeps z out
             # of the rasterizer backward's per-slot scatter-add.
             with_depth=False,
+            tile_h=opt.tile_h,
+            tile_w=opt.tile_w,
+            max_per_tile=opt.max_gaussians_per_tile,
         )
         pred_images = rendered["image"]   # [B, V, S, S, 3]
         pred_alphas = rendered["alpha"]   # [B, V, S, S, 1]

@@ -30,6 +30,9 @@ def render_views(
     scale_modifier: float = 1.0,
     backend: str = "auto",
     with_depth: bool = True,
+    tile_h: Optional[int] = None,
+    tile_w: Optional[int] = None,
+    max_per_tile: Optional[int] = None,
 ):
     """Render [B, V] views of per-scene Gaussians.
 
@@ -45,6 +48,10 @@ def render_views(
       with_depth: emit the depth channel. The training loss never reads
         it; passing False keeps z out of the Pallas backend's per-slot
         gather/scatter (~10% off the backward scatter-add).
+      tile_h, tile_w, max_per_tile: Pallas tiling overrides (pixels per
+        tile and the static per-tile binning cap). None keeps each
+        backend's measured default; the XLA backend has no tiles and
+        ignores them.
 
     Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]),
     ``alpha`` [B, V, S, S, 1] and — for the ``pallas``/``xla`` backends —
@@ -60,18 +67,27 @@ def render_views(
     if backend == "auto":
         backend = _backend_default()
 
+    tile_kw = {}
+    if tile_h is not None:
+        tile_kw["tile_h"] = tile_h
+    if tile_w is not None:
+        tile_kw["tile_w"] = tile_w
+    if max_per_tile is not None:
+        tile_kw["max_per_tile"] = max_per_tile
+
     if backend == "pallas":
         from lgm_tpu.ops.gsplat.flatsort import render_views_flatsort
 
         out = render_views_flatsort(
             gaussians, cam_view, image_size, tan_half_fov, bg,
-            scale_modifier, with_depth=with_depth,
+            scale_modifier, with_depth=with_depth, **tile_kw,
         )
     elif backend == "pallas_v1":
         from lgm_tpu.ops.gsplat.tiled import render_views_tiled
 
         out = render_views_tiled(
-            gaussians, cam_view, image_size, tan_half_fov, bg, scale_modifier
+            gaussians, cam_view, image_size, tan_half_fov, bg,
+            scale_modifier, **tile_kw,
         )
     else:
         one = partial(

@@ -417,7 +417,7 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
                 go, w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
-            )  # [8, G] (rows 0..3 meaningful)
+            )  # [8, G] (rows 0..3 rgb+alpha, row 5 depth meaningful)
             zeros_row = jnp.zeros((1, G_CHUNK), jnp.float32)
             dblk = jnp.concatenate(
                 [dcoef[0:6], dop, zeros_row, dcol[0:3],

@@ -72,7 +72,9 @@ def make_optimizer(opt: Options) -> optax.GradientTransformation:
 def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
                  backend: str = "auto",
                  mesh=None) -> Tuple[TrainState, LGMWithLoss]:
-    model = LGMWithLoss(opt, rasterizer_backend=backend, mesh=mesh)
+    dtype = jnp.bfloat16 if opt.mixed_precision == "bf16" else jnp.float32
+    model = LGMWithLoss(opt, dtype=dtype, rasterizer_backend=backend,
+                        mesh=mesh)
     bg = jnp.ones(3)
     # jit the init: eager flax init dispatches op-by-op (minutes through
     # the remote-TPU tunnel); compiled it runs in seconds.

@@ -192,7 +192,6 @@ def test_converter_covers_reference_state_dict(golden):
     apply raises on missing/mismatched params — this documents intent)."""
     _, _, sd = golden
     tree = convert_state_dict(sd)
-    n_leaves = sum(1 for _ in jnp.asarray([0]) for _ in [0])  # noqa
     flat = []
 
     def walk(node, path):

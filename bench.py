@@ -1,12 +1,16 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints one JSON line per metric:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.json): rendered frames/s/chip at 512x512 on an
-LGM-big-scale scene (65,536 Gaussians) through the flat-sort Pallas
-rasterizer. ``vs_baseline`` is the speedup over the pure-XLA reference
-compositor on the same chip and scene — the reference repo publishes no
-numbers (BASELINE.md), so the in-framework oracle is the measurable
-baseline.
+Metrics (BASELINE.json names both):
+1. rendered frames/s/chip at 512x512 on an LGM-big-scale scene (65,536
+   Gaussians) through the flat-sort Pallas rasterizer. ``vs_baseline`` is
+   the speedup over the pure-XLA reference compositor on the same chip
+   and scene — the reference repo publishes no numbers (BASELINE.md), so
+   the in-framework oracle is the measurable baseline.
+2. LGM-big train steps/s (batch 2, 16 supervision views @512², full
+   loss + AdamW). ``vs_baseline`` is the ratio to the round-2
+   hand-measured 1.49 steps/s (BENCHMARKS.md) — again no reference
+   number exists. TPU only (the full step does not fit a CI CPU).
 
 Timing protocol: the axon TPU tunnel adds ~30 ms per dispatch and its
 block_until_ready is asynchronous, AND XLA hoists loop-invariant bodies
@@ -118,8 +122,66 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(t_xla / t_fast, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    if on_tpu:
+        t_step = _bench_train_step(jax, jnp, overhead)
+        print(
+            json.dumps(
+                {
+                    "metric": "LGM-big train steps/s/chip (batch 2, "
+                              "16 views @512x512, loss+AdamW)",
+                    "value": round(1.0 / t_step, 3),
+                    "unit": "steps/s",
+                    # Ratio to the round-2 hand-measured 1.49 steps/s
+                    # (BENCHMARKS.md); no reference number exists.
+                    "vs_baseline": round((1.0 / t_step) / 1.49, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+def _bench_train_step(jax, jnp, overhead, iters=4):
+    """One full LGM-big training step (batch 2): loss fwd+bwd + AdamW."""
+    from lgm_tpu.config import get_config
+    from lgm_tpu.data.synthetic import SyntheticDataset
+    from lgm_tpu.models.lgm import LGMWithLoss
+    from lgm_tpu.train import TrainState, make_optimizer, train_step
+
+    opt = get_config("big", batch_size=2)
+    ds = SyntheticDataset(opt, training=True)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(0).items()
+             if k != "scenes"}
+    rng = jax.random.PRNGKey(0)
+    model = LGMWithLoss(opt, dtype=jnp.bfloat16)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=jax.jit(model.init)(rng, batch, jnp.ones(3))["params"],
+        tx=make_optimizer(opt),
+    )
+    key = jax.random.PRNGKey(1)
+
+    # batch as a jit ARGUMENT (closure constants become padded XLA
+    # literals; see profile_train.py).
+    @jax.jit
+    def rep(st, data):
+        def body(i, carry):
+            st, acc = carry
+            st, m = train_step(st, data, jax.random.fold_in(key, i))
+            return (st, acc + m["loss"])
+
+        return jax.lax.fori_loop(0, iters, body, (st, 0.0))[1]
+
+    float(rep(state, batch))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        float(rep(state, batch))
+        ts.append(time.time() - t0)
+    return max((min(ts) - overhead) / iters, 1e-9)
 
 
 if __name__ == "__main__":

@@ -93,6 +93,90 @@ def test_lgm_forward_gaussians_matches_reference():
     assert err.max() <= 1e-4, f"max abs err {err.max():.3e}"
 
 
+_LADDERS = {
+    # Full preset BLOCK structures at reduced widths (structure, not
+    # width, selects code paths — see scripts/gen_golden_ladders.py).
+    # small/lrm: 6 down, 4 up; big: 6 down, 5 up whose asymmetric skip
+    # indexing down_channels[max(-2-i, -len)] (ref: core/unet.py:280)
+    # reaches indices -2..-6 — untouched by the tiny 2/2 golden.
+    "unet_small_ladder": dict(
+        down_channels=(32, 32, 32, 32, 64, 64),
+        down_attention=(False, False, False, True, True, True),
+        mid_attention=True,
+        up_channels=(64, 64, 32, 32),
+        up_attention=(True, True, True, False),
+    ),
+    "unet_big_ladder": dict(
+        down_channels=(32, 32, 32, 32, 64, 64),
+        down_attention=(False, False, False, True, True, True),
+        mid_attention=True,
+        up_channels=(64, 64, 32, 32, 32),
+        up_attention=(True, True, True, False, False),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_LADDERS))
+def test_unet_full_ladder_matches_reference_torch(name):
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                name + ".npz"))
+    sd = {k[len("sd/"):]: data[k] for k in data.files if k.startswith("sd/")}
+    net = UNet(
+        out_channels=14,
+        num_views=4,
+        layers_per_block=2,
+        dtype=jnp.float32,
+        remat=False,
+        **_LADDERS[name],
+    )
+    params = convert_state_dict(sd)
+    y = net.apply({"params": params["unet"]},
+                  jnp.asarray(data["input"].transpose(0, 2, 3, 1)))
+    y = np.asarray(y).transpose(0, 3, 1, 2)
+    y_ref = data["output"]
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    scale = np.abs(y_ref).max()
+    assert err.max() <= 1e-4 * max(scale, 1.0) + 1e-5, (
+        f"max abs err {err.max():.3e} (ref scale {scale:.3e})"
+    )
+
+
+def test_lgm_lvis_6view_matches_reference():
+    """6-view forward_gaussians golden from the reference LVIS variant
+    (core/models_lvis.py:102 hardcodes the 6-view reshape). Attention is
+    off in this fixture: the reference MVAttention hardcodes
+    num_frames=4 and mis-groups (or crashes on) 6-view batches — our
+    per-scene V-view attention is a documented deviation (PARITY.md)."""
+    from lgm_tpu.config import Options
+    from lgm_tpu.models.lgm import LGM
+
+    data = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "lgm_lvis6.npz"))
+    sd = {k[len("sd/"):]: data[k] for k in data.files if k.startswith("sd/")}
+    x_ref, y_ref = data["input"], data["output"]
+
+    opt = Options(
+        input_size=16,
+        down_channels=(32, 64),
+        down_attention=(False, False),
+        mid_attention=False,
+        up_channels=(64, 32),
+        up_attention=(False, False),
+        splat_size=16,
+        num_input_views=6,
+        unet_remat=False,
+    )
+    model = LGM(opt, dtype=jnp.float32)
+    params = convert_state_dict(sd)
+    x = jnp.asarray(x_ref.transpose(0, 1, 3, 4, 2))  # NCHW -> NHWC
+    y = np.asarray(model.apply({"params": params}, x))
+
+    assert y.shape == y_ref.shape
+    err = np.abs(y - y_ref)
+    assert err.max() <= 1e-4, f"max abs err {err.max():.3e}"
+
+
 def test_mv_unet_matches_reference_torch():
     """Diffusion multi-view U-Net golden (ref: mvdream/mv_unet.py:
     615-1005): timestep + camera embeddings, cross-view self-attention,

@@ -18,8 +18,11 @@ Weights: ``from_pretrained(path)`` loads a converted checkpoint directory
 architecture tests and smoke runs in this zero-egress environment.
 
 Tokenizer: a real CLIPTokenizer is used when vocab files are present in
-the checkpoint dir; otherwise a deterministic hashing tokenizer stands in
-(testing only — ids are stable but not CLIP's BPE).
+the checkpoint dir. Without one, prompt encoding FAILS LOUDLY unless the
+config opts into the deterministic hashing stand-in
+(allow_hash_tokenizer — tiny test configs only; hashed ids are stable
+but are not CLIP BPE and would be garbage conditioning for real
+weights).
 """
 
 from __future__ import annotations
@@ -68,6 +71,12 @@ class PipelineConfig:
     # autocast inference (ref: infer.py:58-64 torch_dtype=float16);
     # bf16 is the TPU equivalent (params stay f32).
     compute_dtype: str = "bfloat16"
+    # Permit the deterministic hashing stand-in tokenizer for prompt
+    # encoding. Only the tiny test configs set this: with real weights a
+    # hashed id sequence is garbage conditioning, so encode_prompt
+    # fails loudly instead of silently hashing (VERDICT r2 #4). Real
+    # checkpoints must ship a tokenizer/ dir (CLIP BPE vocab).
+    allow_hash_tokenizer: bool = False
 
 
 CONFIGS = {
@@ -81,7 +90,7 @@ CONFIGS = {
         vae_channels=(32, 64), text_hidden=32, text_layers=2, text_heads=2,
         vocab_size=1000, max_tokens=16,
         vision_hidden=48, vision_layers=2, vision_heads=2,
-        image_size=32, patch_size=16,
+        image_size=32, patch_size=16, allow_hash_tokenizer=True,
     ),
     "tiny-test-ip": PipelineConfig(
         model_channels=32, channel_mult=(1, 2),
@@ -91,6 +100,7 @@ CONFIGS = {
         vocab_size=1000, max_tokens=16,
         vision_hidden=48, vision_layers=2, vision_heads=2,
         image_size=32, patch_size=16, ip_dim=4,
+        allow_hash_tokenizer=True,
     ),
     # Full ladder depth (4 levels like the real configs) at tiny widths:
     # regression coverage for init shapes that must survive 3 down/up
@@ -102,7 +112,7 @@ CONFIGS = {
         vae_channels=(32, 32), text_hidden=32, text_layers=1, text_heads=1,
         vocab_size=500, max_tokens=8,
         vision_hidden=32, vision_layers=1, vision_heads=1,
-        image_size=32, patch_size=16,
+        image_size=32, patch_size=16, allow_hash_tokenizer=True,
     ),
 }
 
@@ -355,6 +365,17 @@ class MVDreamPipeline:
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
         """(neg, pos) context embeddings, each [1, L, context_dim]
         (ref: pipeline_mvdream.py:187-337)."""
+        if (isinstance(self.tokenizer, HashTokenizer)
+                and not self.cfg.allow_hash_tokenizer):
+            raise RuntimeError(
+                "prompt encoding requested but no real CLIP tokenizer is "
+                "available: the checkpoint directory has no tokenizer/ "
+                "subdir with the CLIP BPE vocab. The hashing stand-in "
+                "would silently produce garbage conditioning with real "
+                "weights (ref: pipeline_mvdream.py:187-337 runs true CLIP "
+                "BPE). Add the tokenizer files to the checkpoint, or use "
+                "a test config with allow_hash_tokenizer=True."
+            )
         embs = []
         for text in (negative_prompt, prompt):
             ids = self.tokenizer(text)

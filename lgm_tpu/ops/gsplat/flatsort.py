@@ -9,7 +9,15 @@ v1 (tiled.py): [T, N] intersection masks; backward scatters — too slow.
 v2: scatter-free binning + flat chunk grid; measured compositing cost was
     dominated by Mosaic per-grid-step overhead (2048 steps x ~2.7 us) and
     by degenerate layouts ([P, 8] accumulators use 8 of 128 lanes).
-v3 (this file):
+v4 (on top of v3): the kernel input is the RAW per-splat attribute rows
+    (x̄, ȳ, conic, op, rgb[, z]) — the gather output itself — and the
+    tile-local quadratic coefficients are built INSIDE the kernel from
+    the tile origin (derived from program_id). This deletes the XLA-side
+    per-slot coefficient pass ([T*MPT, 16] elementwise + transpose) from
+    the forward AND its autodiff mirror from the backward: the backward
+    kernel chains d(coef) -> d(raw attrs) on the VPU and emits cotangent
+    rows already in the scatter's column layout.
+v3 (execution plan, still current):
   1. Binning: each active splat emits up to D duplicates, one per covered
      tile; key = tile_id * N + depth_rank; ONE variadic lax.sort groups
      them per tile front-to-back. searchsorted gives per-tile ranges,
@@ -80,7 +88,6 @@ from lgm_tpu.ops.gsplat.projection import (
 )
 from lgm_tpu.ops.gsplat.tiled import (
     G_CHUNK,
-    N_ROWS,
     T_EPS,
     _HI,
     _tile_bboxes_xy,
@@ -286,19 +293,59 @@ def _prefix_sum_rows(x):
     return x
 
 
-def _chunk_alpha_t(pf, blk, eye):
+def _coef_from_raw(blk, tox, toy, with_depth):
+    """Quadratic coefficient + color rows from RAW per-splat attributes.
+
+    ``blk`` [R, G] rows: 0 x̄, 1 ȳ (global px), 2 A, 3 B, 4 C (conic),
+    5 op, 6-8 rgb, 9 z (when ``with_depth``). The tile-origin shift
+    happens HERE (v4): coefficients were previously built per-slot on the
+    XLA side ([T*MPT, 16] elementwise + transpose, ~1 ms/view of glue
+    that fused poorly between the binning sort and the kernel); building
+    them in-kernel from the raw rows makes the kernel input the gather
+    output itself. Tile-LOCAL coordinates (mx = x̄ - tox ≤ tile_w) keep
+    the quadratic's terms small — global-coordinate coefficients at 512²
+    would cancel catastrophically in f32 (|A·x̄²| up to ~1e6 vs |power|
+    ≤ 40).
+
+    Returns (pcoef [8, G] rows c0..c5, op, 0 — matching the pf feature
+    rows; colmat [8, G] rows r, g, b, 1, 0, z, 0, 0 — the accumulator
+    contraction; mx, my, c3, c4 [1, G] for the backward chain)."""
+    mx = blk[0:1] - tox
+    my = blk[1:2] - toy
+    A, B, C = blk[2:3], blk[3:4], blk[4:5]
+    op = blk[5:6]
+    c3 = A * mx + B * my
+    c4 = C * my + B * mx
+    c5 = -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my)
+    zeros = jnp.zeros_like(op)
+    pcoef = jnp.concatenate(
+        [-0.5 * A, -0.5 * C, -B, c3, c4, c5, op, zeros], axis=0
+    )
+    ones = jnp.ones_like(op)
+    z = blk[9:10] if with_depth else zeros
+    # Explicit [1, G] rows: a mixed-width concat ([3, G] slice + [1, G]
+    # rows) mis-lowers in Mosaic (measured on chip: wrong rgb rows with
+    # correct alpha); row-by-row concat lowers correctly.
+    colmat = jnp.concatenate(
+        [blk[6:7], blk[7:8], blk[8:9], ones, zeros, z, zeros, zeros],
+        axis=0,
+    )
+    return pcoef, colmat, mx, my, c3, c4
+
+
+def _chunk_alpha_t(pf, pcoef, eye):
     """Alpha for one [G, P] block in the transposed layout.
 
     Returns (alpha, one_minus_alpha, araw, power)."""
     power = jax.lax.dot_general(
-        blk[0:8], pf,
+        pcoef, pf,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
     )  # [G, P]
     # Opacity is stored as a lane-vector [1, G]; broadcast it across the
     # pixel lanes by an identity matmul transpose -> [G, 1].
     op_col = jax.lax.dot_general(
-        eye, blk[6:7],
+        eye, pcoef[6:7],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
     )  # [G, 1]
@@ -313,12 +360,15 @@ def _chunk_alpha_t(pf, blk, eye):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr):
+def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr,
+                *, tiles_x, tile_w, tile_h, with_depth):
     t = pl.program_id(0)
     count = cnt_ref[t]
     NC = params_ref.shape[1]
     P = pf_ref.shape[1]
     eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
+    tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
+    toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
 
     t_scr[:] = jnp.ones((1, P), jnp.float32)
     acc_scr[:] = jnp.zeros((8, P), jnp.float32)
@@ -330,12 +380,14 @@ def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr):
         def _(k=k):
             pf = pf_ref[:]
             blk = params_ref[0, k]
-            alpha, om, _, _ = _chunk_alpha_t(pf, blk, eye)
+            pcoef, colmat, _, _, _, _ = _coef_from_raw(
+                blk, tox, toy, with_depth)
+            alpha, om, _, _ = _chunk_alpha_t(pf, pcoef, eye)
             cp = _prefix_prod_rows(om)
             t_excl = _shift_rows(cp, 1, 1.0)
             w = alpha * t_excl * t_scr[:]        # [G, P]
             acc_scr[:] += jax.lax.dot_general(
-                blk[8:16], w,
+                colmat, w,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # [8, P], full-width MXU contraction over G
@@ -347,12 +399,16 @@ def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr):
 
 
 def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
-                dparams_ref, t_scr, prefu_scr):
+                dparams_ref, t_scr, prefu_scr,
+                *, tiles_x, tile_w, tile_h, with_depth):
     t = pl.program_id(0)
     count = cnt_ref[t]
     NC = params_ref.shape[1]
+    R = params_ref.shape[2]
     P = pf_ref.shape[1]
     eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
+    tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
+    toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
 
     t_scr[:] = jnp.ones((1, P), jnp.float32)
     prefu_scr[:] = jnp.zeros((1, P), jnp.float32)
@@ -371,7 +427,7 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
 
         @pl.when(jnp.logical_not(live))
         def _(k=k):
-            dparams_ref[0, k] = jnp.zeros((N_ROWS, G_CHUNK), jnp.float32)
+            dparams_ref[0, k] = jnp.zeros((R, G_CHUNK), jnp.float32)
 
         @pl.when(live)
         def _(k=k):
@@ -379,14 +435,16 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
             blk = params_ref[0, k]
             T = t_scr[:]                   # [1, P]
             prefU = prefu_scr[:]           # [1, P]
-            alpha, om, araw, power = _chunk_alpha_t(pf, blk, eye)
+            pcoef, colmat, mx, my, c3, c4 = _coef_from_raw(
+                blk, tox, toy, with_depth)
+            alpha, om, araw, power = _chunk_alpha_t(pf, pcoef, eye)
             cp = _prefix_prod_rows(om)
             t_excl = _shift_rows(cp, 1, 1.0)
             Ti = t_excl * T                # [G, P]
             w = alpha * Ti
 
             s = jax.lax.dot_general(
-                blk[8:16], go,
+                colmat, go,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # [G, P]
@@ -406,26 +464,36 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
                 pf, dpower,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
-            )  # [8, G]
+            )  # [8, G] rows = d/d(c0..c5), rows 6-7 zero (pf rows 6-7)
             # dL/d(op) = sum_p dalpha*e = sum_p dpower / op (alpha = op*e
             # wherever dpower != 0), and sum_p dpower is dcoef's constant-
             # feature row (pf row 5 == 1) — no extra K=P matmul needed.
             # Dead slots have op == 0 and dcoef[5] == 0; the max() guard
             # keeps that 0/0 at zero.
-            dop = dcoef[5:6] / jnp.maximum(blk[6:7], 1e-12)  # [1, G]
+            dc0, dc1, dc2 = dcoef[0:1], dcoef[1:2], dcoef[2:3]
+            dc3, dc4, dc5 = dcoef[3:4], dcoef[4:5], dcoef[5:6]
+            dop = dc5 / jnp.maximum(pcoef[6:7], 1e-12)  # [1, G]
+            # Chain the coefficient cotangents to the RAW attr rows (v4:
+            # this chain ran as an XLA elementwise pass over [T*MPT, 16]
+            # before; in-kernel it is ~20 VPU ops on [1, G] vectors).
+            A, B, C = blk[2:3], blk[3:4], blk[4:5]
+            dA = -0.5 * dc0 + mx * dc3 - 0.5 * mx * mx * dc5
+            dC = -0.5 * dc1 + my * dc4 - 0.5 * my * my * dc5
+            dB = -dc2 + my * dc3 + mx * dc4 - mx * my * dc5
+            dx = A * dc3 + B * dc4 - c3 * dc5
+            dy = B * dc3 + C * dc4 - c4 * dc5
             dcol = jax.lax.dot_general(
                 go, w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # [8, G] (rows 0..3 rgb+alpha, row 5 depth meaningful)
-            zeros_row = jnp.zeros((1, G_CHUNK), jnp.float32)
-            dblk = jnp.concatenate(
-                [dcoef[0:6], dop, zeros_row, dcol[0:3],
-                 jnp.zeros((2, G_CHUNK), jnp.float32),
-                 dcol[5:6],  # row 13: depth channel cotangent
-                 jnp.zeros((2, G_CHUNK), jnp.float32)], axis=0,
-            )  # [16, G]
-            dparams_ref[0, k] = dblk
+            rows = [dx, dy, dA, dB, dC, dop,
+                    dcol[0:1], dcol[1:2], dcol[2:3]]  # explicit [1, G]
+            # rows (a mixed-width concat mis-lowers in Mosaic, see
+            # _coef_from_raw)
+            if with_depth:
+                rows.append(dcol[5:6])
+            dparams_ref[0, k] = jnp.concatenate(rows, axis=0)  # [R, G]
 
             prefu_scr[:] = prefU + u_scan[G_CHUNK - 1:G_CHUNK, :]
             t_scr[:] = T * cp[G_CHUNK - 1:G_CHUNK, :]
@@ -445,14 +513,15 @@ def _pixel_features_t(tile_h: int, tile_w: int) -> jnp.ndarray:
     )
 
 
-def _run_fwd(params, counts, pf, interpret):
-    T, NC = params.shape[0], params.shape[1]
+def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
+             with_depth):
+    T, NC, R = params.shape[0], params.shape[1], params.shape[2]
     P = pf.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+            pl.BlockSpec((1, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
             pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
         ],
@@ -462,55 +531,69 @@ def _run_fwd(params, counts, pf, interpret):
             pltpu.VMEM((8, P), jnp.float32),
         ],
     )
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        with_depth=with_depth,
+    )
     return pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=interpret,
     )(counts, params, pf)
 
 
-def _run_bwd(params, counts, pf, fo, go, interpret):
-    T, NC = params.shape[0], params.shape[1]
+def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
+             tile_h, with_depth):
+    T, NC, R = params.shape[0], params.shape[1], params.shape[2]
     P = pf.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+            pl.BlockSpec((1, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
             pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
             pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
             pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, NC, N_ROWS, G_CHUNK),
+        out_specs=pl.BlockSpec((1, NC, R, G_CHUNK),
                                lambda t, cnt: (t, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
         ],
     )
+    kernel = functools.partial(
+        _bwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        with_depth=with_depth,
+    )
     return pl.pallas_call(
-        _bwd_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(params.shape, jnp.float32),
         interpret=interpret,
     )(counts, params, pf, fo, go)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _composite_flat(params, counts, pf, interpret):
-    return _run_fwd(params, counts, pf, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _composite_flat(params, counts, pf, interpret, tiles_x, tile_w,
+                    tile_h, with_depth):
+    return _run_fwd(params, counts, pf, interpret, tiles_x, tile_w,
+                    tile_h, with_depth)
 
 
-def _cf_fwd(params, counts, pf, interpret):
-    out = _run_fwd(params, counts, pf, interpret)
+def _cf_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
+            with_depth):
+    out = _run_fwd(params, counts, pf, interpret, tiles_x, tile_w,
+                   tile_h, with_depth)
     return out, (params, counts, pf, out)
 
 
-def _cf_bwd(interpret, res, go):
+def _cf_bwd(interpret, tiles_x, tile_w, tile_h, with_depth, res, go):
     params, counts, pf, fo = res
-    dparams = _run_bwd(params, counts, pf, fo, go, interpret)
+    dparams = _run_bwd(params, counts, pf, fo, go, interpret, tiles_x,
+                       tile_w, tile_h, with_depth)
     return dparams, None, None
 
 
@@ -587,30 +670,18 @@ def render_flatsort(
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
     a = checkpoint_name(_gather_entries(attrs, fr), CKPT_NAME)
 
-    # Tile-local coefficient construction (elementwise, autodiff).
-    torig_x = (meta.slot_tile % tiles_x).astype(jnp.float32) * tile_w
-    torig_y = (meta.slot_tile // tiles_x).astype(jnp.float32) * tile_h
-    mx = a[:, 0] - torig_x
-    my = a[:, 1] - torig_y
-    A, B, C = a[:, 2], a[:, 3], a[:, 4]
-    op = a[:, 5]
-    ones = jnp.where(fr < N, 1.0, 0.0)
-    zeros = jnp.zeros_like(op)
-    rows = [
-        -0.5 * A, -0.5 * C, -B,
-        A * mx + B * my, C * my + B * mx,
-        -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my),
-        op, zeros, a[:, 6], a[:, 7], a[:, 8], ones,
-        zeros, a[:, 9] if with_depth else zeros, zeros, zeros,
-    ]  # row 13 = z: the 8-row color contraction emits sum w*z at acc
-    # row 5 for free (row 12 stays zero — the output's T row)
-    params_flat = jnp.stack(rows, axis=-1)           # [T*MPT, 16]
-    params = params_flat.reshape(T, NC, G_CHUNK, N_ROWS).transpose(
-        0, 1, 3, 2
-    )  # [T, NC, 16, G]
+    # v4: no per-slot coefficient construction here — the gather output
+    # IS the kernel input (raw attr rows; the kernel shifts by the tile
+    # origin and builds the quadratic coefficients on the VPU). The only
+    # remaining glue between the binning sort and the kernel is the
+    # gather itself plus this layout transpose to feature-major rows.
+    R = a.shape[1]  # 9, or 10 with depth
+    params = a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2)
+    # [T, NC, R, G]
 
     pf = _pixel_features_t(tile_h, tile_w)
-    out = _composite_flat(params, counts, pf, interpret)
+    out = _composite_flat(params, counts, pf, interpret, tiles_x,
+                          tile_w, tile_h, with_depth)
 
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     if channels_first:

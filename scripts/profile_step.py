@@ -139,8 +139,12 @@ def main():
     # 5. composite kernel alone (fwd), on realistic binned params
     import functools
 
+    tiles_x = S // 32
+
     @jax.jit
     def build_inputs(gg):
+        # v4 layout: the kernel input is the raw-attr gather output
+        # (coefficients are built in-kernel from the tile origin).
         proj = projection.project_gaussians(gg, view, S, tan)
         meta = flatsort._flat_binning(proj, S // 32, S // 32, 32, 32, 16)
         attrs = jnp.concatenate(
@@ -150,28 +154,9 @@ def main():
         attrs = attrs[meta.order]
         attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
         a = attrs[meta.flat_rank]
-        tiles_x = S // 32
-        torig_x = (meta.slot_tile % tiles_x).astype(jnp.float32) * 32
-        torig_y = (meta.slot_tile // tiles_x).astype(jnp.float32) * 32
-        mx = a[:, 0] - torig_x
-        my = a[:, 1] - torig_y
-        A, B, C = a[:, 2], a[:, 3], a[:, 4]
-        op = a[:, 5]
-        N = gg.shape[0]
-        ones = jnp.where(meta.flat_rank < N, 1.0, 0.0)
-        zeros = jnp.zeros_like(op)
-        rows = [
-            -0.5 * A, -0.5 * C, -B,
-            A * mx + B * my, C * my + B * mx,
-            -(0.5 * A * mx * mx + 0.5 * C * my * my + B * mx * my),
-            op, zeros, a[:, 6], a[:, 7], a[:, 8], ones,
-            zeros, zeros, zeros, zeros,
-        ]
-        params_flat = jnp.stack(rows, axis=-1)
         T = (S // 32) ** 2
         MPT = 1024
-        params = params_flat.reshape(T, MPT // 128, 128, 16).transpose(
-            0, 1, 3, 2)
+        params = a.reshape(T, MPT // 128, 128, 9).transpose(0, 1, 3, 2)
         return params, meta.counts
 
     params, counts = jax.block_until_ready(build_inputs(g))
@@ -179,7 +164,8 @@ def main():
 
     t = chained(
         jax, jnp,
-        lambda pp: flatsort._composite_flat(pp, counts, pf, False),
+        lambda pp: flatsort._composite_flat(pp, counts, pf, False,
+                                            tiles_x, 32, 32, False),
         (params,), it, overhead,
         lambda o: jnp.sum(o[:, 0:5]),
     )
@@ -187,7 +173,8 @@ def main():
 
     def comp_fwdbwd(pp):
         def loss(x):
-            o = flatsort._composite_flat(x, counts, pf, False)
+            o = flatsort._composite_flat(x, counts, pf, False,
+                                         tiles_x, 32, 32, False)
             return jnp.sum(o[:, 0:5])
 
         l, gr = jax.value_and_grad(loss)(pp)

@@ -45,14 +45,29 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch onto the mesh: batch axis over dp and, for
     per-view arrays (images/masks/cameras), the view axis over vp.
     `input` (the V_in input views) is replicated along vp — every chip
-    needs all input views to run the cross-view U-Net."""
+    needs all input views to run the cross-view U-Net.
+
+    Multi-host: every process must pass the same GLOBAL batch (the data
+    pipelines are deterministic in the step index, so each host
+    materializes the full batch and jax slices out the shards its local
+    devices own via make_array_from_callback — device_put cannot target
+    non-addressable devices). Per-host sharded *loading* is an
+    optimization on top, not a correctness requirement."""
     out = {}
+    multiproc = jax.process_count() > 1
     for k, v in batch.items():
         if k == "input" or v.ndim < 2:
             spec = P("dp")
         else:
             spec = P("dp", "vp")
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            arr = np.asarray(v)
+            out[k] = jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, arr=arr: arr[idx]
+            )
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
 
 

@@ -233,7 +233,17 @@ def main(argv=None):
     # discovery via the standard TPU env (the reference's `accelerate
     # launch` equivalent, ref: main.py:18-22; SURVEY.md §5.8).
     if os.environ.get("LGM_TPU_MULTIHOST", "") == "1":
-        jax.distributed.initialize()
+        # On a TPU pod, initialize() auto-discovers the coordinator from
+        # the TPU metadata. Off-pod (CPU multi-process runs, the 2-process
+        # localhost test), pass it explicitly via env.
+        kw = {}
+        if "LGM_TPU_COORDINATOR" in os.environ:
+            kw = dict(
+                coordinator_address=os.environ["LGM_TPU_COORDINATOR"],
+                num_processes=int(os.environ["LGM_TPU_NUM_PROCESSES"]),
+                process_id=int(os.environ["LGM_TPU_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
     opt = parse_cli(argv)
     if opt.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -375,7 +385,10 @@ def main(argv=None):
                         f"step {step}: loss {m['loss']:.4f} "
                         f"psnr {m['psnr']:.2f} ({dt:.1f}s/100it)"
                     )
-            if step % 500 == 0 and is_lead and "images_output" in batch:
+            if (step % 500 == 0 and is_lead and "images_output" in batch
+                    and jax.process_count() == 1):
+                # (multi-host: images_pred shards are not all addressable
+                # from the lead host; grids are a single-host feature)
                 # GT-vs-pred grid, like the reference's per-500-iter dumps
                 # (main.py:120-136) — one extra eval fwd on the last batch.
                 ev = jit_eval(state, data)

@@ -358,9 +358,29 @@ class Converter:
     # ------------------------------------------------------------------
 
     def unwrap_uv(self):
+        """UV atlas (xatlas replacement, ref: convert.py:370-372).
+
+        Preferred path: native chart-based unwrap (normal-coherent chart
+        growing + per-chart plane projection + shelf packing,
+        native/meshops.cpp) — follows surface regions, so concave meshes
+        avoid the box atlas's cross-chart stretch. Falls back to the
+        6-way box projection if the native library cannot build."""
+        try:
+            from lgm_tpu import native
+
+            verts, uv, faces, n_charts = native.chart_unwrap(
+                self.verts, self.faces)
+            self.verts, self.faces, self.uv = verts, faces, uv
+            self.n_charts = n_charts
+            return self
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"[unwrap_uv] native chart unwrap unavailable ({e}); "
+                  "using box projection")
+            return self._unwrap_uv_box()
+
+    def _unwrap_uv_box(self):
         """Box-projection atlas: faces grouped by dominant normal axis
-        into 6 charts packed 3x2 (xatlas replacement, ref:
-        convert.py:370-372). Vertices used by multiple charts are
+        into 6 charts packed 3x2. Vertices used by multiple charts are
         duplicated so UVs are per-corner consistent."""
         v, f = self.verts, self.faces
         fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])

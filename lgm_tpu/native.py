@@ -56,6 +56,10 @@ def _load():
         f32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_float,
         f32p, i32p, ip, ip,
     ]
+    lib.lgm_chart_unwrap.argtypes = [
+        f32p, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, f32p, ctypes.c_int, f32p, i32p, ip, ip,
+    ]
     _lib = lib
     return lib
 
@@ -101,6 +105,36 @@ def decimate(verts: np.ndarray, faces: np.ndarray, cell: float
     )
     v, f = out_v[: nv.value].copy(), out_f[: nf.value].copy()
     return clean(v, f, eps=0.0)[0:2]
+
+
+def chart_unwrap(verts: np.ndarray, faces: np.ndarray,
+                 cos_thresh: float = 0.5, margin: float = 0.01
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Chart-based UV atlas (xatlas-class replacement, ref:
+    convert.py:370-372): normal-coherent chart growing + per-chart plane
+    projection + shelf packing at uniform texel density. Returns
+    (verts' [V', 3] with chart-boundary duplication, uv [V', 2] in
+    [0, 1]^2, faces [F, 3], n_charts). ``cos_thresh`` bounds a chart's
+    normal spread (0.5 = 60 deg from the chart mean), which bounds the
+    plane-projection stretch to 1/cos_thresh."""
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    max_v = 3 * len(faces) + 8
+    out_v = np.empty((max_v, 3), np.float32)
+    out_uv = np.empty((max_v, 2), np.float32)
+    out_f = np.empty_like(faces)
+    nv = ctypes.c_int()
+    nc = ctypes.c_int()
+    rc = lib.lgm_chart_unwrap(
+        verts, len(verts), faces, len(faces), float(cos_thresh),
+        float(margin), out_v, max_v, out_uv, out_f,
+        ctypes.byref(nv), ctypes.byref(nc),
+    )
+    if rc != 0:
+        raise RuntimeError(f"chart_unwrap overflow: needs {nv.value} verts")
+    return (out_v[: nv.value].copy(), out_uv[: nv.value].copy(),
+            out_f.copy(), nc.value)
 
 
 def clean(verts: np.ndarray, faces: np.ndarray, eps: float = 1e-5

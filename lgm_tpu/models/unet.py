@@ -44,21 +44,39 @@ def _attention(q, k, v):
     (S = V*32² = 4096), XLA's dense dot_product_attention materializes
     the [B, heads, S, S] logits — 8.6 GB transient at the reference
     batch size, more than a v5e chip's HBM. The Pallas flash kernel
-    (O(S) memory, custom VJP) takes that path; short sequences and
-    non-TPU backends keep the dense path (verified grad cosine
-    > 0.99995 between the two on chip).
+    (O(S) memory, custom VJP) takes that path with 1024-wide blocks:
+    the kernel's DEFAULT 512 blocks are 6.4x slower at these small
+    head dims (measured 14.7 -> 2.3 ms at B2/S4096/h16/d32; 2048-wide
+    blocks exceed the VMEM scoped limit). Below S=2048 dense wins
+    (0.45 vs 0.85 ms at S=1024) and its logits stay <300 MB at the
+    reference batch sizes, so short sequences and non-TPU backends keep
+    the dense path (grad cosine > 0.99995 between the two on chip).
     """
     S, D = q.shape[1], q.shape[3]
-    if jax.default_backend() == "tpu" and S >= 1024 and S % 512 == 0:
+    # Dense materializes [B, heads, S, S] logits; keep it only while
+    # that transient stays small (the small-preset bs8 step runs at
+    # 15.7/15.75 GB — a 268 MB S=1024 dense transient would tip it).
+    logits_bytes = q.shape[0] * q.shape[2] * S * S * 2
+    if (jax.default_backend() == "tpu" and S % 1024 == 0
+            and (S >= 2048 or logits_bytes > 2e8)):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
             flash_attention,
         )
 
+        b = 1024
+        bs = BlockSizes(
+            block_q=b, block_k_major=b, block_k=b, block_b=1,
+            block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+            block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
+            block_q_dq=b,
+        )
         o = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             sm_scale=float(D) ** -0.5,
+            block_sizes=bs,
         )
         return o.transpose(0, 2, 1, 3)
     return jax.nn.dot_product_attention(q, k, v)

@@ -105,28 +105,33 @@ def main():
     results = {}
 
     # --- 1. LGM (U-Net) forward only ------------------------------------
+    # params ride as part of the chained ARGUMENT (closure constants
+    # become XLA literals: 1.6 GB of them stalls/breaks the remote
+    # compile — measured, see round-1 lessons in the verify skill).
     lgm = LGM(opt)
-    lgm_params = {"params": params["lgm"]}
+    lgm_arg = (params["lgm"], batch["input"])
 
-    def lgm_fwd(x):
-        g = lgm.apply(lgm_params, x)
-        return jnp.sum(g)
+    def lgm_fwd(arg):
+        pp, x = arg
+        return jnp.sum(lgm.apply({"params": pp}, x))
 
     if want("unet"):
-        results["unet fwd"] = chained(jax, jnp, lgm_fwd, batch["input"],
+        results["unet fwd"] = chained(jax, jnp, lgm_fwd, lgm_arg,
                                       it, overhead)
 
     # --- 2. LGM (U-Net) fwd+bwd ------------------------------------------
-    def lgm_fwdbwd(x):
-        def loss(pp):
-            return jnp.sum(lgm.apply({"params": pp}, x))
+    def lgm_fwdbwd(arg):
+        pp, x = arg
 
-        l, gr = jax.value_and_grad(loss)(lgm_params["params"])
+        def loss(p):
+            return jnp.sum(lgm.apply({"params": p}, x))
+
+        l, gr = jax.value_and_grad(loss)(pp)
         return l + sum(jnp.sum(g) for g in jax.tree.leaves(gr))
 
     if want("unet"):
         results["unet fwd+bwd"] = chained(jax, jnp, lgm_fwdbwd,
-                                          batch["input"], it, overhead)
+                                          lgm_arg, it, overhead)
 
     # --- 3. rasterizer all B*V views fwd ---------------------------------
     from lgm_tpu.ops.gsplat import render_views
@@ -134,8 +139,8 @@ def main():
     tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
     if want("unet"):
         g0 = jax.jit(
-            lambda x: lgm.apply(lgm_params, x).astype(jnp.float32)
-        )(batch["input"])
+            lambda pp, x: lgm.apply({"params": pp}, x).astype(jnp.float32)
+        )(params["lgm"], batch["input"])
     else:
         # Raster-only runs skip the (slow-to-compile) U-Net: a bench-style
         # random scene at the same Gaussian count stands in.

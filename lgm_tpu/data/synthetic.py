@@ -20,6 +20,7 @@ dataset double as an end-to-end convergence test of the whole stack.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -77,10 +78,44 @@ def sample_poses(rng: np.random.Generator, opt: Options) -> np.ndarray:
     return np.asarray(camera.canonicalize_poses(poses, opt.cam_radius))
 
 
-def _plucker_stack(poses: np.ndarray, size: int, fovy: float) -> np.ndarray:
-    return np.stack(
-        [camera.plucker_rays(p, size, size, fovy) for p in poses]
-    ).astype(np.float32)
+@functools.lru_cache(maxsize=4)
+def _device_batch_builder(opt: Options):
+    """One jitted graph building the image-sized batch tensors ON DEVICE
+    from [B, N, 14] scenes + [B, V, 4, 4] poses (a ~100 KB upload).
+
+    The previous host pipeline rendered GT on device, read ~35 MB back,
+    and re-uploaded ~70 MB of batch per step — through a remote-TPU
+    tunnel (~15 MB/s) that dominated training at ~7 s/step. On-device
+    the loop only moves scenes/poses up and metrics down. (On a local
+    TPU host this also removes two pointless PCIe round trips.)"""
+    import jax
+
+    tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
+
+    def build(scenes, poses, cam_view):
+        out = render_views(scenes, cam_view, opt.output_size, tan,
+                           backend="auto", with_depth=False)
+        images_output = out["image"]
+        masks_output = jnp.clip(out["alpha"], 0.0, 1.0)
+
+        if opt.input_size == opt.output_size:
+            images_in = images_output[:, : opt.num_input_views]
+        else:
+            inp = render_views(
+                scenes, cam_view[:, : opt.num_input_views],
+                opt.input_size, tan, backend="auto", with_depth=False,
+            )
+            images_in = inp["image"]
+
+        images_in = (images_in - IMAGENET_MEAN) / IMAGENET_STD
+        plucker = jax.vmap(jax.vmap(
+            lambda p: camera.plucker_rays(
+                p, opt.input_size, opt.input_size, opt.fovy)
+        ))(poses[:, : opt.num_input_views])
+        inputs = jnp.concatenate([images_in, plucker], axis=-1)
+        return inputs, images_output, masks_output
+
+    return jax.jit(build)
 
 
 def make_batch(
@@ -89,45 +124,24 @@ def make_batch(
     batch_size: Optional[int] = None,
     n_gaussians: int = 512,
 ) -> Dict[str, np.ndarray]:
-    """Build one host-side batch dict (numpy, NHWC)."""
+    """Build one batch dict (NHWC). The image-sized tensors are DEVICE
+    arrays produced by one jitted graph; the small tensors (cameras,
+    scenes) stay host numpy. np.asarray() materializes the device
+    entries when a consumer needs host data (tests, image dumps)."""
     B = batch_size or opt.batch_size
     scenes = np.stack(
         [sample_scene(rng, n_gaussians) for _ in range(B)]
     )  # [B, N, 14]
     poses = np.stack([sample_poses(rng, opt) for _ in range(B)])  # [B,V,4,4]
     cams = camera.build_camera_inputs(poses, opt.fovy, opt.znear, opt.zfar)
-    tan = float(np.tan(0.5 * np.deg2rad(opt.fovy)))
 
-    # Ground-truth renders: supervision views at output_size on white bg.
-    out = render_views(
-        jnp.asarray(scenes), jnp.asarray(cams["cam_view"]),
-        opt.output_size, tan, backend="auto",
+    inputs, images_output, masks_output = _device_batch_builder(opt)(
+        jnp.asarray(scenes), jnp.asarray(poses),
+        jnp.asarray(cams["cam_view"]),
     )
-    images_output = np.asarray(out["image"], np.float32)
-    masks_output = np.clip(np.asarray(out["alpha"], np.float32), 0.0, 1.0)
-
-    # Input views at input_size (white bg), first V_in poses.
-    if opt.input_size == opt.output_size:
-        images_in = images_output[:, : opt.num_input_views]
-    else:
-        inp = render_views(
-            jnp.asarray(scenes),
-            jnp.asarray(cams["cam_view"][:, : opt.num_input_views]),
-            opt.input_size, tan, backend="auto",
-        )
-        images_in = np.asarray(inp["image"], np.float32)
-
-    images_in = (images_in - IMAGENET_MEAN) / IMAGENET_STD
-    plucker = np.stack(
-        [
-            _plucker_stack(p[: opt.num_input_views], opt.input_size, opt.fovy)
-            for p in poses
-        ]
-    )  # [B, V_in, H, W, 6]
-    inputs = np.concatenate([images_in, plucker], axis=-1)
 
     return {
-        "input": inputs.astype(np.float32),
+        "input": inputs,
         "images_output": images_output,
         "masks_output": masks_output,
         "cam_view": np.asarray(cams["cam_view"], np.float32),

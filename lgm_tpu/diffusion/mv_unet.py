@@ -70,24 +70,36 @@ def _attention(q, k, v, heads: int):
 
     Self-attention over the joint cross-view sequence ((b f) l c ->
     b (f l) c, up to 5*32² = 5120 tokens) takes the Pallas TPU flash
-    kernel — the dense path materializes the [B, H, S, S] logits and is
-    HBM-bound at these lengths. Cross-attention to the 77-token text
-    context stays dense (tiny, and the kernel wants block-divisible kv)."""
+    kernel with TUNED block sizes — the kernel's default 512 blocks run
+    ~6x off their tuned speed at small head dims (measured in
+    models/unet.py's twin of this gate), and the dense path materializes
+    [B, H, S, S] logits. Short sequences (and the 77-token text
+    cross-attention) stay dense unless the logits transient is large."""
     B, Nq, C = q.shape
     Nk = k.shape[1]
     hd = C // heads
     q = q.reshape(B, Nq, heads, hd)
     k = k.reshape(B, Nk, heads, hd)
     v = v.reshape(B, Nk, heads, hd)
-    if (jax.default_backend() == "tpu" and Nq == Nk and Nq >= 1024
-            and Nq % 512 == 0):
+    logits_bytes = B * heads * Nq * Nk * 2
+    if (jax.default_backend() == "tpu" and Nq == Nk and Nq % 512 == 0
+            and (Nq >= 2048 or logits_bytes > 2e8)):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
             flash_attention,
         )
 
+        b = 1024 if Nq % 1024 == 0 else 512
+        bs = BlockSizes(
+            block_q=b, block_k_major=b, block_k=b, block_b=1,
+            block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+            block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
+            block_q_dq=b,
+        )
         o = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), sm_scale=float(hd) ** -0.5,
+            block_sizes=bs,
         ).transpose(0, 2, 1, 3)
     else:
         o = jax.nn.dot_product_attention(q, k, v)

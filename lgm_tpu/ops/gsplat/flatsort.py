@@ -668,20 +668,30 @@ def render_flatsort(
     attrs = jnp.concatenate(cols, axis=1)  # [N, 9 or 10]
     attrs = _permute_rows(attrs, meta.order, inv_perm)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
-    a = checkpoint_name(_gather_entries(attrs, fr), CKPT_NAME)
+    a = _gather_entries(attrs, fr)
 
     # v4: no per-slot coefficient construction here — the gather output
     # IS the kernel input (raw attr rows; the kernel shifts by the tile
     # origin and builds the quadratic coefficients on the VPU). The only
     # remaining glue between the binning sort and the kernel is the
     # gather itself plus this layout transpose to feature-major rows.
+    #
+    # Residual naming: the feature-major PARAMS (not the row-major
+    # gather output `a` — [T*MPT, 9] rows lane-pad 14x to 134 MB/view
+    # under (8,128) tiling; the transposed layout stores ~17 MB) and
+    # the composite OUTPUT, so the checkpointed backward starts directly
+    # at the bwd kernel with zero forward replay.
     R = a.shape[1]  # 9, or 10 with depth
-    params = a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2)
-    # [T, NC, R, G]
+    params = checkpoint_name(
+        a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2), CKPT_NAME
+    )  # [T, NC, R, G]
 
     pf = _pixel_features_t(tile_h, tile_w)
-    out = _composite_flat(params, counts, pf, interpret, tiles_x,
-                          tile_w, tile_h, with_depth)
+    out = checkpoint_name(
+        _composite_flat(params, counts, pf, interpret, tiles_x,
+                        tile_w, tile_h, with_depth),
+        CKPT_NAME,
+    )
 
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     if channels_first:

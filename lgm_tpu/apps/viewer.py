@@ -98,7 +98,8 @@ class ViewerState:
         @functools.partial(jax.jit, static_argnums=())
         def _render(g, cam_view, tan, scale):
             return render_views(
-                g, cam_view, size, tan, scale_modifier=scale
+                g, cam_view, size, tan, scale_modifier=scale,
+                dup=32,  # quality over speed off the training path
             )
 
         self._render = _render

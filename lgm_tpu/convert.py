@@ -116,7 +116,7 @@ class Converter:
             self._render_jit = {}
         if size not in self._render_jit:
             self._render_jit[size] = jax.jit(
-                lambda g, v: render_views(g, v, size, self.tan)
+                lambda g, v: render_views(g, v, size, self.tan, dup=32)
             )
         cams = camera.build_camera_inputs(pose[None], self.opt.fovy,
                                           self.opt.znear, self.opt.zfar)
@@ -216,24 +216,38 @@ class Converter:
         def density_fn(params, pts):
             return field.apply({"params": params}, pts)[0]
 
+        @jax.jit
+        def occ_update(params, grid):
+            # grid.update's eager lax.map re-compiles per call (a fresh
+            # closure each time — measured ~2 min of remote compile every
+            # 32 iters through the TPU tunnel); one jitted graph instead.
+            return grid.update(lambda pts: density_fn(params, pts),
+                               threshold=1.0)
+
+        # Random-ray subsampling: training on every ray of the teacher
+        # image evaluates the field at rays*samples = 2M points/iter; the
+        # hash-table GRADIENT is then a 16M-index scatter-add per level
+        # (index-loop-bound, like the rasterizer's — see BENCHMARKS.md).
+        # 4096 random rays/iter keep the same per-sample signal at ~1/4
+        # the cost (and match how nerfacc-based fits sample).
+        n_rays = 4096
         for it in range(iters):
             pose = _orbit_pose(self.rng, self.opt.cam_radius)
             rgb, alpha, _ = self.render_gs(pose, resolution)
             rays_o, rays_d = camera.get_rays(pose, resolution, resolution,
                                              self.opt.fovy)
+            sel = self.rng.integers(0, resolution * resolution, n_rays)
             self.key, sub = jax.random.split(self.key)
             params, opt_state, loss = step(
                 params, opt_state, grid,
-                jnp.asarray(rays_o.reshape(-1, 3)),
-                jnp.asarray(rays_d.reshape(-1, 3)),
-                jnp.asarray(rgb.reshape(-1, 3)),
-                jnp.asarray(alpha.reshape(-1)),
+                jnp.asarray(rays_o.reshape(-1, 3)[sel]),
+                jnp.asarray(rays_d.reshape(-1, 3)[sel]),
+                jnp.asarray(rgb.reshape(-1, 3)[sel]),
+                jnp.asarray(alpha.reshape(-1)[sel]),
                 jnp.asarray(sample_points()), sub,
             )
             if (it + 1) % 32 == 0:  # periodic occupancy update
-                grid = grid.update(
-                    lambda pts: density_fn(params, pts), threshold=1.0
-                )
+                grid = occ_update(params, grid)
             if (it + 1) % log_every == 0:
                 print(f"[fit_nerf] iter {it + 1}/{iters} loss "
                       f"{float(loss):.5f}")

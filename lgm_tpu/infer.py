@@ -111,7 +111,8 @@ def _orbit_render_fn(output_size: int, tan: float, n_devices: int = 1):
     def chunk_fn(g, views, sm):
         return (
             render_views(
-                g, views, output_size, tan, scale_modifier=sm
+                g, views, output_size, tan, scale_modifier=sm,
+                dup=32,  # quality over speed off the training path
             )["image"] * 255.0
         ).astype(jnp.uint8)
 

@@ -33,6 +33,7 @@ def render_views(
     tile_h: Optional[int] = None,
     tile_w: Optional[int] = None,
     max_per_tile: Optional[int] = None,
+    dup: Optional[int] = None,
 ):
     """Render [B, V] views of per-scene Gaussians.
 
@@ -52,6 +53,11 @@ def render_views(
         tile and the static per-tile binning cap). None keeps each
         backend's measured default; the XLA backend has no tiles and
         ignores them.
+      dup: per-splat live-tile cap of the flatsort backend. The default
+        16 can truncate large splats on dense scenes (visible as color
+        deltas vs the exact oracle; alpha saturates identically — see
+        BENCHMARKS.md); quality-sensitive inference surfaces pass 32
+        (fwd +~1.9 ms/view @512²/65k, exact to 3e-3 at 64).
 
     Returns dict of ``image`` [B, V, S, S, 3] (clamped to [0,1]),
     ``alpha`` [B, V, S, S, 1] and — for the ``pallas``/``xla`` backends —
@@ -74,6 +80,9 @@ def render_views(
         tile_kw["tile_w"] = tile_w
     if max_per_tile is not None:
         tile_kw["max_per_tile"] = max_per_tile
+
+    if backend == "pallas" and dup is not None:
+        tile_kw["dup"] = dup
 
     if backend == "pallas":
         from lgm_tpu.ops.gsplat.flatsort import render_views_flatsort

@@ -46,7 +46,17 @@ v3 (execution plan, still current):
      prefix-sum differencing at rank boundaries (13.6 -> 27.4 ms/view
      fwd+bwd on a v5e) — in isolation each beats the 3.3-3.9 ms
      scatter, but the scatter fuses with its cotangent producer while
-     the sort forfeits that fusion.
+     the sort forfeits that fusion. A round-3 sweep of rank-sorted
+     alternatives (scripts/microbench_scatter2.py, measured on chip)
+     confirms the scatter is at its practical floor: permute+cumsum+
+     ends-gather 4.9 ms (the [262k, 9] cumsum alone exceeds the
+     scatter), permuted indices_are_sorted scatter 3.76 vs 3.95 ms but
+     the forward-side argsort + merge-searchsorted it requires costs
+     4.9 ms, and a blocked masked-matmul two-level reduce 6.5 ms (its
+     combine step is itself a 262k scatter). The per-index cost of XLA
+     scatter on this chip bounds every irregular-reduction formulation;
+     further wins must reduce index COUNT, which the static T*MPT slot
+     layout fixes by construction.
   5. Grid batching: KPT>1 tiles per Mosaic grid step was measured at
      ~2x SLOWER @512/65k (larger blocks starve the DMA/compute
      pipeline; the per-step overhead is not the bottleneck) — keep one

@@ -102,6 +102,15 @@ def train_step(state: TrainState, data: Dict, rng: jax.Array):
     bg = jax.random.uniform(rng, (3,))
 
     def loss_fn(params):
+        # stop_gradient on the frozen LPIPS subtree: without it, the VGG
+        # weight-gradient matmuls (dW = x^T @ dy through the whole conv
+        # tower, ~= the data-gradient pass in FLOPs) are computed every
+        # step only for the optimizer's set_to_zero branch to discard
+        # them — and the gnorm metric would count them. With it, XLA
+        # DCEs the dW chains and those grads are exact zeros.
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.lax.stop_gradient(x)
+            if _is_lpips(path, x) else x, params)
         out = state.apply_fn({"params": params}, data, bg)
         return out["loss"], out
 

@@ -108,6 +108,8 @@ def main():
     mesh_iters = 96 if args.quick else 256
     tex_iters = 64 if args.quick else 128
     conv.fit_nerf(iters=nerf_iters, log_every=64)
+    conv.extract_mesh(grid_resolution=128 if args.quick else 192,
+                      density_thresh=10.0)
     conv.fit_mesh(iters=mesh_iters, lap_weight=args.lap, log_every=64)
     conv.fit_texture(iters=tex_iters, log_every=64)
     fit_s = time.time() - t0

@@ -71,6 +71,9 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--stages", default="all",
                    help="comma list: unet,raster,lpips,loss,step")
+    p.add_argument("--no-lpips", action="store_true",
+                   help="set lambda_lpips=0 (isolates the in-step LPIPS "
+                        "+ resize share by difference against a normal run)")
     args = p.parse_args()
     stages = set(args.stages.split(","))
     def want(name):
@@ -85,6 +88,8 @@ def main():
     from lgm_tpu.train import make_optimizer, train_step, TrainState
 
     opt = get_config(args.preset, batch_size=args.batch)
+    if args.no_lpips:
+        opt = opt.replace(lambda_lpips=0.0)
     print(f"preset={args.preset} B={opt.batch_size} V={opt.num_views} "
           f"Vin={opt.num_input_views} splat={opt.splat_size} "
           f"out={opt.output_size} N={opt.num_gaussians}")

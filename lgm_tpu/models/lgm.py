@@ -129,11 +129,23 @@ def _to_nchw(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _resize_nchw_256(x: jnp.ndarray) -> jnp.ndarray:
-    """[N, 3, S, S] -> [N, 3, 256, 256] bilinear (pass-through if
-    S <= 256)."""
+    """[N, 3, S, S] -> [N, 3, 256, 256] (pass-through if S <= 256).
+
+    The reference feeds LPIPS through F.interpolate(bilinear,
+    align_corners=False, antialias default False) (ref:
+    core/models.py:156-163). At an integer downscale factor that
+    formula's sample points sit exactly at k x k block centers with
+    equal weights, i.e. it IS k x k average pooling — so pool directly:
+    numerically torch-exact AND cheaper than jax.image.resize, whose
+    bilinear path antialiases by default (wider kernel, different
+    numbers than the reference). Non-integer factors (e.g. the 320
+    LVIS finetune size) keep the resize fallback."""
     n, s = x.shape[0], x.shape[2]
     if s <= 256:
         return x
+    if s % 256 == 0:
+        k = s // 256
+        return x.reshape(n, 3, 256, k, 256, k).mean(axis=(3, 5))
     return jax.image.resize(x, (n, 3, 256, 256), method="bilinear")
 
 

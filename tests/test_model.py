@@ -128,3 +128,22 @@ def test_synthetic_batch_contract():
     # Mask should cover some but not all of the image.
     cover = batch["masks_output"].mean()
     assert 0.01 < cover < 0.99
+
+
+def test_lpips_resize_matches_torch_interpolate():
+    """The LPIPS input downscale must match the reference's
+    F.interpolate(bilinear, align_corners=False, antialias=False)
+    (ref: core/models.py:156-163). At the big preset's exact 2x factor
+    that formula reduces to 2x2 average pooling; guard the pooled path
+    against the live torch op."""
+    torch = pytest.importorskip("torch")
+    from lgm_tpu.models.lgm import _resize_nchw_256
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 512, 512)).astype(np.float32)
+    ours = np.asarray(_resize_nchw_256(jnp.asarray(x)))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), (256, 256), mode="bilinear",
+        align_corners=False,
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

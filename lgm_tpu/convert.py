@@ -13,9 +13,12 @@ Three-stage distillation matching the reference pipeline
    the differentiable triangle rasterizer (ops/trirast) with Laplacian and
    offset regularizers (ref: convert.py:263-361; periodic remeshing is
    replaced by the stronger Laplacian term).
-3. ``fit_mesh_uv``: box-projection UV atlas (xatlas replacement), bake
-   albedo from the NeRF color field, then optimize the texture against
-   front-biased Gaussian renders (ref: convert.py:364-442).
+3. ``fit_mesh_uv``: chart-based UV unwrap (xatlas replacement: native
+   normal-coherent chart growing + per-chart plane projection + shelf
+   packing in native/meshops.cpp, with a 6-way box-projection fallback
+   when the native library is unavailable), bake albedo from the NeRF
+   color field, then optimize the texture against front-biased Gaussian
+   renders (ref: convert.py:364-442).
 
 Export: binary glTF (.glb) with embedded PNG texture, plus .obj fallback.
 

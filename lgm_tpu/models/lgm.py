@@ -128,25 +128,46 @@ def _to_nchw(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 4, 2, 3).reshape(B * V, 3, S, S)
 
 
-def _resize_nchw_256(x: jnp.ndarray) -> jnp.ndarray:
-    """[N, 3, S, S] -> [N, 3, 256, 256] (pass-through if S <= 256).
+def _torch_bilinear_matrix(s_in: int, s_out: int) -> np.ndarray:
+    """[s_out, s_in] row-stochastic matrix reproducing torch
+    F.interpolate(mode='bilinear', align_corners=False, antialias=False)
+    along one axis: output i samples src = (i+0.5)*s_in/s_out - 0.5 with
+    two taps floor(src), floor(src)+1 (edge-clamped) and weights
+    (1-frac, frac). Applying it as a matmul on each spatial axis is
+    exact for ANY size, unlike jax.image.resize whose bilinear path
+    antialiases (widens the kernel) on downscale."""
+    src = (np.arange(s_out) + 0.5) * (s_in / s_out) - 0.5
+    src = np.clip(src, 0.0, s_in - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, s_in - 1)
+    frac = (src - i0).astype(np.float32)
+    w = np.zeros((s_out, s_in), dtype=np.float32)
+    w[np.arange(s_out), i0] += 1.0 - frac
+    w[np.arange(s_out), i1] += frac
+    return w
 
-    The reference feeds LPIPS through F.interpolate(bilinear,
-    align_corners=False, antialias default False) (ref:
-    core/models.py:156-163). At an integer downscale factor that
-    formula's sample points sit exactly at k x k block centers with
-    equal weights, i.e. it IS k x k average pooling — so pool directly:
-    numerically torch-exact AND cheaper than jax.image.resize, whose
-    bilinear path antialiases by default (wider kernel, different
-    numbers than the reference). Non-integer factors (e.g. the 320
-    LVIS finetune size) keep the resize fallback."""
+
+def _resize_nchw_256(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3, S, S] -> [N, 3, 256, 256] (pass-through if S <= 256),
+    numerically matching the reference's F.interpolate(bilinear,
+    align_corners=False, antialias default False) at EVERY size (ref:
+    core/models.py:156-163).
+
+    At EXACTLY a 2x downscale torch's two bilinear taps per output land
+    on the two pixels of each 2x2 block's row/column with weight 1/2
+    each, i.e. it IS 2x2 average pooling — so the 512->256 big-preset
+    path pools directly (cheapest). That identity does NOT generalize
+    to k>=3 (for k=3 torch samples the single pixel 3i+1; for k=4 it
+    averages only the middle two), so every other size applies the
+    exact torch tap matrix separably via two matmuls."""
     n, s = x.shape[0], x.shape[2]
     if s <= 256:
         return x
-    if s % 256 == 0:
-        k = s // 256
-        return x.reshape(n, 3, 256, k, 256, k).mean(axis=(3, 5))
-    return jax.image.resize(x, (n, 3, 256, 256), method="bilinear")
+    if s == 512:
+        return x.reshape(n, 3, 256, 2, 256, 2).mean(axis=(3, 5))
+    w = jnp.asarray(_torch_bilinear_matrix(s, 256))
+    x = jnp.einsum("oh,nchw->ncow", w, x)
+    return jnp.einsum("ow,nchw->ncho", w, x)
 
 
 class _LPIPSScanBody(nn.Module):

@@ -1,9 +1,9 @@
-"""Flat-sort Pallas Gaussian rasterizer (v3) — tile-grid, transposed layout.
+"""Flat-sort Pallas Gaussian rasterizer (v4) — tile-grid, transposed layout.
 
 Follows the GPU rasterizer's *logical* structure — duplicate per covered
 tile, sort once, contiguous per-tile depth-ordered ranges (ref: the CUDA
 backend of core/gs.py; SURVEY.md §2b N1) — with a TPU-native execution
-plan that evolved over three versions:
+plan that evolved over four versions:
 
 v1 (tiled.py): [T, N] intersection masks; backward scatters — too slow.
 v2: scatter-free binning + flat chunk grid; measured compositing cost was

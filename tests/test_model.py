@@ -130,17 +130,20 @@ def test_synthetic_batch_contract():
     assert 0.01 < cover < 0.99
 
 
-def test_lpips_resize_matches_torch_interpolate():
+@pytest.mark.parametrize("size", [320, 512, 768, 1024])
+def test_lpips_resize_matches_torch_interpolate(size):
     """The LPIPS input downscale must match the reference's
     F.interpolate(bilinear, align_corners=False, antialias=False)
-    (ref: core/models.py:156-163). At the big preset's exact 2x factor
-    that formula reduces to 2x2 average pooling; guard the pooled path
-    against the live torch op."""
+    (ref: core/models.py:156-163) at EVERY size: 512 exercises the 2x2
+    avg-pool fast path (exact only at k=2), 768/1024 the k>=3 integer
+    factors where pooling would diverge (torch samples pixel 3i+1 at
+    k=3), and 320 a non-integer factor (the LVIS finetune output size).
+    All guard against the live torch op."""
     torch = pytest.importorskip("torch")
     from lgm_tpu.models.lgm import _resize_nchw_256
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, 3, 512, 512)).astype(np.float32)
+    x = rng.normal(size=(2, 3, size, size)).astype(np.float32)
     ours = np.asarray(_resize_nchw_256(jnp.asarray(x)))
     ref = torch.nn.functional.interpolate(
         torch.from_numpy(x), (256, 256), mode="bilinear",

@@ -102,6 +102,31 @@ CONFIGS = {
         image_size=32, patch_size=16, ip_dim=4,
         allow_hash_tokenizer=True,
     ),
+    # Composed-pipeline golden configs (tests/golden/pipeline_tiny.npz,
+    # pipeline_ip_tiny.npz from scripts/gen_golden_pipeline.py): f32 so
+    # the 3-step denoise matches the torch oracle to golden tolerance;
+    # vision_hidden=1280 because the reference Resampler hardcodes its
+    # input width (ref: mv_unet.py:738 embedding_dim=1280).
+    "tiny-pipe": PipelineConfig(
+        model_channels=32, channel_mult=(1, 2),
+        attention_resolutions=(1, 2), num_res_blocks=1,
+        num_head_channels=16, context_dim=32,
+        vae_channels=(32, 64), text_hidden=32, text_layers=2,
+        text_heads=2, vocab_size=1000, max_tokens=16,
+        vision_hidden=1280, vision_layers=2, vision_heads=16,
+        image_size=32, patch_size=16, compute_dtype="float32",
+        allow_hash_tokenizer=True,
+    ),
+    "tiny-pipe-ip": PipelineConfig(
+        model_channels=32, channel_mult=(1, 2),
+        attention_resolutions=(1, 2), num_res_blocks=1,
+        num_head_channels=16, context_dim=32,
+        vae_channels=(32, 64), text_hidden=32, text_layers=2,
+        text_heads=2, vocab_size=1000, max_tokens=16,
+        vision_hidden=1280, vision_layers=2, vision_heads=16,
+        image_size=32, patch_size=16, ip_dim=4,
+        compute_dtype="float32", allow_hash_tokenizer=True,
+    ),
     # Full ladder depth (4 levels like the real configs) at tiny widths:
     # regression coverage for init shapes that must survive 3 down/up
     # rounds (a too-small init latent hits a skip-concat mismatch).
@@ -480,10 +505,16 @@ class MVDreamPipeline:
         num_frames: int = 4,
         seed: int = 0,
         output_type: str = "numpy",
+        latents: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Text- or image-conditioned multi-view generation
         (ref: pipeline_mvdream.py:431-558). Returns [F, H, W, 3] numpy
-        in [0, 1] (F includes the ip frame for the image path)."""
+        in [0, 1] (F includes the ip frame for the image path).
+
+        ``latents``: optional [F, H/f, W/f, 4] initial noise override
+        (the diffusers prepare_latents hook, ref: pipeline_mvdream.py:
+        382-396); used by the composed-pipeline golden test to share the
+        oracle's starting noise."""
         import jax
         import jax.numpy as jnp
 
@@ -509,13 +540,16 @@ class MVDreamPipeline:
             ip = np.concatenate([ip_neg] * F + [ip_pos] * F)
             ip_img = np.concatenate([lat_neg, lat_pos])  # [2, h, w, 4]
 
-        rng = jax.random.PRNGKey(seed)
         f = 2 ** (len(self.cfg.vae_channels) - 1)  # VAE spatial factor
         h8, w8 = height // f, width // f
-        latents = (
-            np.asarray(jax.random.normal(rng, (F, h8, w8, 4)))
-            * self.scheduler.init_noise_sigma
-        )
+        if latents is None:
+            rng = jax.random.PRNGKey(seed)
+            latents = (
+                np.asarray(jax.random.normal(rng, (F, h8, w8, 4)))
+                * self.scheduler.init_noise_sigma
+            )
+        else:
+            assert latents.shape == (F, h8, w8, 4), latents.shape
 
         sch = self.scheduler
         steps = np.asarray(sch.timesteps, np.int64)

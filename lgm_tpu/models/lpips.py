@@ -39,20 +39,26 @@ _STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
 
 class VGG16Features(nn.Module):
-    """VGG-16 conv tower returning the 5 LPIPS tap activations."""
+    """VGG-16 conv tower returning the 5 LPIPS tap activations.
+
+    ``stages`` keeps the VGG-16 structure (conv counts, pool positions,
+    torchvision naming) at configurable widths — the converter golden
+    (tests/test_lpips.py) runs the full canonical-name pipeline at
+    reduced widths so the fixture stays small."""
 
     dtype: Any = jnp.float32
+    stages: tuple = _STAGES
 
     @nn.compact
     def __call__(self, x):
         taps = []
-        for si, (n_convs, ch) in enumerate(_STAGES):
+        for si, (n_convs, ch) in enumerate(self.stages):
             for ci in range(n_convs):
                 x = nn.Conv(ch, (3, 3), dtype=self.dtype,
                             name=f"conv{si}_{ci}")(x)
                 x = nn.relu(x)
             taps.append(x)
-            if si < len(_STAGES) - 1:
+            if si < len(self.stages) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return taps
 
@@ -82,12 +88,14 @@ class LPIPS(nn.Module):
     """lpips(a, b) -> [B] distance. a, b: [B, H, W, 3] in [-1, 1]."""
 
     dtype: Any = jnp.float32
+    stages: tuple = _STAGES
 
     @nn.compact
     def __call__(self, a, b):
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
-        vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        vgg = VGG16Features(dtype=self.dtype, stages=self.stages,
+                            name="vgg")
         fa = vgg((a - shift) / scale)
         fb = vgg((b - shift) / scale)
 

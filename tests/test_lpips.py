@@ -1,5 +1,7 @@
 """LPIPS metric + torch-weight conversion round-trip (SURVEY.md §2b N7)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,3 +85,51 @@ def test_load_lpips_params_shape_mismatch(tmp_path):
     np.savez(tmp_path / "bad.npz", **{"lin0": np.zeros(7, np.float32)})
     with pytest.raises(ValueError):
         load_lpips_params(str(tmp_path / "bad.npz"), params)
+
+
+STAGE_PLAN = ((2, 8), (2, 16), (3, 32), (3, 32), (3, 32))
+GOLD = os.path.join(os.path.dirname(__file__), "golden", "lpips_tiny.npz")
+
+
+@pytest.mark.quick
+def test_lpips_canonical_converter_golden(tmp_path):
+    """The VAE treatment for LPIPS (VERDICT r3 #2): an independent torch
+    oracle with the CANONICAL released-checkpoint key names —
+    torchvision ``features.{0,2,5,...,28}.weight`` for the VGG backbone
+    and ``lin{k}.model.1.weight`` [1,C,1,1] for the heads — runs through
+    the FULL production path (.pth files -> tools/convert_lpips.convert
+    -> .npz -> load_lpips_params -> LPIPS.apply) and the distances must
+    match to 1e-5. A drop-in of real released weights exercises exactly
+    these mappings (ref: core/models.py:46-49,156-163). Fixture from
+    scripts/gen_golden_lpips.py (reduced widths, identical structure/
+    naming)."""
+    torch = pytest.importorskip("torch")
+    from lgm_tpu.tools.convert_lpips import convert
+
+    data = np.load(GOLD)
+    vgg_sd = {k[len("vgg_sd/"):]: torch.from_numpy(data[k])
+              for k in data.files if k.startswith("vgg_sd/")}
+    lin_sd = {k[len("lin_sd/"):]: torch.from_numpy(data[k])
+              for k in data.files if k.startswith("lin_sd/")}
+    # 13 convs (w+b) + 5 heads, canonical names.
+    assert len(vgg_sd) == 26 and len(lin_sd) == 5
+    assert "features.28.weight" in vgg_sd
+    assert "lin4.model.1.weight" in lin_sd
+
+    vgg_pth = tmp_path / "vgg16.pth"
+    lin_pth = tmp_path / "lpips_vgg.pth"
+    out_npz = tmp_path / "lpips.npz"
+    torch.save(vgg_sd, vgg_pth)
+    torch.save(lin_sd, lin_pth)
+    n = convert(str(vgg_pth), str(lin_pth), str(out_npz))
+    assert n == 31, f"converter mapped {n} of 31 tensors"
+
+    model = LPIPS(stages=STAGE_PLAN)
+    a = jnp.asarray(data["a"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    b = jnp.asarray(data["b"].transpose(0, 2, 3, 1))
+    params = model.init(jax.random.PRNGKey(0), a, b)["params"]
+    params = load_lpips_params(str(out_npz), params)
+    d = np.asarray(model.apply({"params": params}, a, b))
+    np.testing.assert_allclose(d, data["dist"], atol=1e-5)
+    d0 = np.asarray(model.apply({"params": params}, a, a))
+    np.testing.assert_allclose(d0, data["dist_same"], atol=1e-7)

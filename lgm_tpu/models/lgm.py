@@ -153,18 +153,18 @@ def _resize_nchw_256(x: jnp.ndarray) -> jnp.ndarray:
     align_corners=False, antialias default False) at EVERY size (ref:
     core/models.py:156-163).
 
-    At EXACTLY a 2x downscale torch's two bilinear taps per output land
-    on the two pixels of each 2x2 block's row/column with weight 1/2
-    each, i.e. it IS 2x2 average pooling — so the 512->256 big-preset
-    path pools directly (cheapest). That identity does NOT generalize
-    to k>=3 (for k=3 torch samples the single pixel 3i+1; for k=4 it
-    averages only the middle two), so every other size applies the
-    exact torch tap matrix separably via two matmuls."""
+    The tap matrix is applied separably via two matmuls at EVERY size
+    (at s=512 its rows are exactly 2-tap 1/2+1/2 averages, so this
+    subsumes the 2x2 avg-pool identity). Matmuls beat the two
+    formulations that were traced at big-bs2 and rejected: a 6D
+    reshape+mean materializes odd-layout [.., 256, 2, 256, 2] copies
+    (~7 ms/step), and strided slices + adds materialize four
+    [16, 3, 512*512] interleaving fusions in the BACKWARD (~18 ms/step);
+    the separable contraction is ~10 GFLOP f32 fwd per big-bs2 step —
+    MXU work, not layout traffic."""
     n, s = x.shape[0], x.shape[2]
     if s <= 256:
         return x
-    if s == 512:
-        return x.reshape(n, 3, 256, 2, 256, 2).mean(axis=(3, 5))
     w = jnp.asarray(_torch_bilinear_matrix(s, 256))
     x = jnp.einsum("oh,nchw->ncow", w, x)
     return jnp.einsum("ow,nchw->ncho", w, x)

@@ -290,7 +290,16 @@ def _shift_rows(x, shift: int, fill: float):
 
 
 def _prefix_prod_rows(x):
-    """Inclusive prefix product along the 128-row axis (Hillis-Steele)."""
+    """Inclusive prefix product along the 128-row axis (Hillis-Steele).
+
+    Measured-and-rejected alternative (r4, on chip): a lower-triangular
+    [G, G] ones MXU contraction (exp(L @ log x) for the product, L @ x
+    for the backward's prefix sum) was 60% SLOWER end-to-end —
+    composite fwd 28.1 -> 44.9 ms/step, bwd 58.5 -> 90.1 at big-bs2.
+    The MXU is not idle in these kernels (alpha + accumulation
+    contractions), f32 MXU runs at quarter rate, and the log/exp
+    transcendentals cost more VPU than the 7-step shift network they
+    replace. The shift network stays."""
     for s in (1, 2, 4, 8, 16, 32, 64):
         x = x * _shift_rows(x, s, 1.0)
     return x
@@ -641,6 +650,32 @@ def render_flatsort(
     attribute gather (9 instead of 10 columns), shaving ~10% off the
     backward's [T*MPT, C] scatter-add — the training path, which never
     reads depth, uses it."""
+    out, counts = _prepare_and_composite(
+        gaussians, view, image_size, tan_half_fov, scale_modifier,
+        tile_h, tile_w, dup, max_per_tile, interpret, with_depth,
+    )
+    del counts
+    return _pack_output(out, bg_color, image_size, tile_h, tile_w,
+                        with_depth, channels_first)
+
+
+def _prepare_view(gaussians, view, image_size, tan_half_fov,
+                  scale_modifier, tile_h, tile_w, dup, max_per_tile,
+                  with_depth):
+    """Projection + binning + slot gather for one view; returns the
+    composite kernel's inputs (params [T, NC, R, G], counts [T]).
+
+    Checkpoint seam: when this stage is wrapped in jax.checkpoint(...,
+    policy=save_only_these_names(CKPT_NAME)) (as render_views_flatsort
+    does), the four named buffers (~10 MB/view) are the saved residuals,
+    and the backward's replay DCEs the whole binning pipeline — the
+    depth argsorts, the [N, 2D] candidate compaction sort, the [N*D]
+    flat sort, and the slot gather (measured 3.4 ms of the 4.9 ms
+    forward @512/65k). The composite kernel deliberately sits OUTSIDE
+    the checkpointed region: its custom-VJP fwd rule is opaque to the
+    remat machinery, so placing it inside makes the backward re-run the
+    forward kernel just to regenerate residuals the policy had already
+    saved by name (measured 28 ms/step of pure replay at big-bs2)."""
     S = image_size
     assert S % tile_h == 0 and S % tile_w == 0
     tiles_y, tiles_x = S // tile_h, S // tile_w
@@ -656,13 +691,6 @@ def render_flatsort(
         jax.tree.map(jax.lax.stop_gradient, proj),
         tiles_y, tiles_x, tile_h, tile_w, dup, max_per_tile,
     )
-    # Checkpoint seam: when the per-view render is wrapped in
-    # jax.checkpoint(..., policy=save_only_these_names(CKPT_NAME)) (as
-    # render_views_flatsort does), these four buffers (~10 MB/view) are
-    # the saved residuals, and the backward's replay DCEs the whole
-    # binning pipeline — the depth argsorts, the [N, 2D] candidate
-    # compaction sort, the [N*D] flat sort, and the slot gather
-    # (measured 3.4 ms of the 4.9 ms forward @512/65k).
     fr = checkpoint_name(meta.flat_rank, CKPT_NAME)
     counts = checkpoint_name(meta.counts, CKPT_NAME)
     inv_perm = checkpoint_name(meta.rank, CKPT_NAME)
@@ -688,21 +716,36 @@ def render_flatsort(
     #
     # Residual naming: the feature-major PARAMS (not the row-major
     # gather output `a` — [T*MPT, 9] rows lane-pad 14x to 134 MB/view
-    # under (8,128) tiling; the transposed layout stores ~17 MB) and
-    # the composite OUTPUT, so the checkpointed backward starts directly
-    # at the bwd kernel with zero forward replay.
+    # under (8,128) tiling; the transposed layout stores ~17 MB), so the
+    # checkpointed backward starts at d(params) with zero kernel replay.
     R = a.shape[1]  # 9, or 10 with depth
     params = checkpoint_name(
         a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2), CKPT_NAME
     )  # [T, NC, R, G]
+    return params, counts
 
-    pf = _pixel_features_t(tile_h, tile_w)
-    out = checkpoint_name(
-        _composite_flat(params, counts, pf, interpret, tiles_x,
-                        tile_w, tile_h, with_depth),
-        CKPT_NAME,
+
+def _prepare_and_composite(gaussians, view, image_size, tan_half_fov,
+                           scale_modifier, tile_h, tile_w, dup,
+                           max_per_tile, interpret, with_depth):
+    """Single-view prepare + composite (no checkpoint wrapper).
+    Returns (out [T, 8, P], counts [T])."""
+    params, counts = _prepare_view(
+        gaussians, view, image_size, tan_half_fov, scale_modifier,
+        tile_h, tile_w, dup, max_per_tile, with_depth,
     )
+    tiles_x = image_size // tile_w
+    pf = _pixel_features_t(tile_h, tile_w)
+    out = _composite_flat(params, counts, pf, interpret, tiles_x,
+                          tile_w, tile_h, with_depth)
+    return out, counts
 
+
+def _pack_output(out, bg_color, image_size, tile_h, tile_w, with_depth,
+                 channels_first):
+    """[T, 8, P] kernel output -> image/alpha(/depth) dict."""
+    S = image_size
+    tiles_y, tiles_x = S // tile_h, S // tile_w
     out = out.reshape(tiles_y, tiles_x, 8, tile_h, tile_w)
     if channels_first:
         out = out.transpose(2, 0, 3, 1, 4).reshape(8, S, S)
@@ -740,24 +783,40 @@ def render_views_flatsort(
     The map runs over (scene index, view, bg); each body step slices its
     scene's Gaussians out of the closed-over [B, N, 14] array — repeating
     the Gaussians V-fold up front would write B*V*N*14 floats of HBM
-    (235 MB at the big preset) before rendering starts."""
+    (235 MB at the big preset) before rendering starts.
+
+    Only the prepare stage (projection + binning + gather) is inside the
+    jax.checkpoint region; the composite kernel runs OUTSIDE it so its
+    custom-VJP residuals (params/counts/output) are saved by the scan
+    rather than regenerated by re-running the forward kernel in the
+    backward pass (see _prepare_view's seam note; the replay measured
+    28 ms/step at big-bs2 — pure waste, since the named policy had
+    already saved equal tensors)."""
     B, V = cam_view.shape[:2]
     sidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), V)
     v_flat = cam_view.reshape(B * V, 4, 4)
     bg_flat = bg.reshape(B * V, 3)
+    tiles_x = image_size // tile_w
+    pf = _pixel_features_t(tile_h, tile_w)
 
     @functools.partial(
         jax.checkpoint,
         policy=jax.checkpoint_policies.save_only_these_names(CKPT_NAME),
     )
+    def prep(i, v):
+        g = jax.lax.dynamic_index_in_dim(gaussians, i, 0, keepdims=False)
+        return _prepare_view(
+            g, v, image_size, tan_half_fov, scale_modifier,
+            tile_h, tile_w, dup, max_per_tile, with_depth,
+        )
+
     def one(args):
         i, v, b = args
-        g = jax.lax.dynamic_index_in_dim(gaussians, i, 0, keepdims=False)
-        return render_flatsort(
-            g, v, image_size, tan_half_fov, b, scale_modifier,
-            tile_h, tile_w, dup, max_per_tile, interpret,
-            channels_first=True, with_depth=with_depth,
-        )
+        params, counts = prep(i, v)
+        o = _composite_flat(params, counts, pf, interpret, tiles_x,
+                            tile_w, tile_h, with_depth)
+        return _pack_output(o, b, image_size, tile_h, tile_w,
+                            with_depth, channels_first=True)
 
     out = jax.lax.map(one, (sidx, v_flat, bg_flat))
     # Reshape while still channels-first (a bitcast), THEN transpose to

@@ -81,6 +81,12 @@ class Options:
     # Max Gaussians binned per tile (static shape cap for XLA); the
     # measured default of the flatsort kernel (BENCHMARKS.md).
     max_gaussians_per_tile: int = 1024
+    # Per-splat live-tile cap of the flatsort binning (None = backend
+    # default 16). Inference/quality surfaces use 32 (a big splat's
+    # visible tiles overflow 16 and truncate); the TRAINING default was
+    # A/B'd on the 2k-step synthetic curve in round 4 (BENCHMARKS.md
+    # "dup/MPT quality A/B") before being left at the backend default.
+    rasterizer_dup: Optional[int] = None
     # Rasterizer backend: "auto" | "pallas" | "xla".
     rasterizer: str = "auto"
 

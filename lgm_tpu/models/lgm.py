@@ -221,6 +221,7 @@ class LGMWithLoss(nn.Module):
             tile_h=opt.tile_h,
             tile_w=opt.tile_w,
             max_per_tile=opt.max_gaussians_per_tile,
+            dup=opt.rasterizer_dup,
         )
         pred_images = rendered["image"]   # [B, V, S, S, 3]
         pred_alphas = rendered["alpha"]   # [B, V, S, S, 1]

@@ -699,11 +699,15 @@ def _prepare_view(gaussians, view, image_size, tan_half_fov,
     # row), then gathered per slot by rank. With ``with_depth``,
     # camera-space z rides along so the composite can emit the
     # accumulated-depth channel (the reference CUDA fork's extra output;
-    # ref: core/gs.py:7-10).
-    cols = [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color]
+    # ref: core/gs.py:7-10). The packed block comes CHANNEL-MAJOR from
+    # projection (proj.attrs_t) so its cotangent slices [1, N] rows in
+    # the natural lane layout — concatenating the [N, k] per-field views
+    # here instead costs ~7 ms/step of [N, 1] backward layout copies
+    # (traced r4, big-bs2).
+    attrs_t = proj.attrs_t
     if with_depth:
-        cols.append(proj.depth[:, None])
-    attrs = jnp.concatenate(cols, axis=1)  # [N, 9 or 10]
+        attrs_t = jnp.concatenate([attrs_t, proj.depth[None]], axis=0)
+    attrs = attrs_t.T  # [N, 9 or 10]
     attrs = _permute_rows(attrs, meta.order, inv_perm)
     attrs = jnp.concatenate([attrs, jnp.zeros_like(attrs[:1])], axis=0)
     a = _gather_entries(attrs, fr)

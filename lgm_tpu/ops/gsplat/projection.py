@@ -45,6 +45,15 @@ class Projected(NamedTuple):
     valid: jnp.ndarray    # [N] bool, survives near/degenerate culling
     radius_x: jnp.ndarray = None  # [N] exact AABB half-width in pixels
     radius_y: jnp.ndarray = None  # [N] exact AABB half-height in pixels
+    # [9, N] rows (x̄, ȳ, A, B, C, op, r, g, b): the flatsort slot
+    # attributes, stacked CHANNEL-MAJOR directly from the SoA scalar
+    # vectors. The per-field [N, k] views above stack along the minor
+    # dim, whose BACKWARD materializes one [N, 1] layout-converted copy
+    # per component (traced at ~7 ms/step at big-bs2); a consumer that
+    # needs the packed block should take this one (its cotangent slices
+    # [1, N] rows in the natural lane layout) instead of concatenating
+    # the per-field views.
+    attrs_t: jnp.ndarray = None
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -219,12 +228,15 @@ def project_gaussians(
 
     # Pixel-space mean: u = f x/z + (S-1)/2  (ndc2Pix convention).
     center = 0.5 * (S - 1)
-    mean2d = jnp.stack(
-        [
-            focal * tx * inv_z + center,
-            focal * ty * inv_z + center,
-        ],
-        axis=-1,
+    mx = focal * tx * inv_z + center
+    my = focal * ty * inv_z + center
+    mean2d = jnp.stack([mx, my], axis=-1)
+
+    # Channel-major packed attributes (see Projected.attrs_t).
+    attrs_t = jnp.stack(
+        [mx, my, c * inv_det, -b * inv_det, a * inv_det, opacity,
+         gaussians[:, 11], gaussians[:, 12], gaussians[:, 13]],
+        axis=0,
     )
 
     return Projected(
@@ -237,4 +249,5 @@ def project_gaussians(
         valid=valid,
         radius_x=radius_x,
         radius_y=radius_y,
+        attrs_t=attrs_t,
     )

@@ -55,28 +55,31 @@ def build_step():
     return jit_step, state, batch
 
 
-# Buckets are matched in order; first hit wins. Patterns are substrings
-# of the HLO op name (lowercased). The profiler's device events carry
-# fused-op names like "fusion.1234" plus source annotations in "args";
-# we match on both name and the long_name/source string when present.
+# Buckets are matched in order; first hit wins. Patterns match the OP
+# NAME ONLY (lowercased, trailing .digits stripped) — matching against
+# long_name text is wrong because HLO operand references (%copy.123)
+# would misattribute consumers to their producers' buckets.
 BUCKETS = [
     ("attention", ("flash", "attention", "softmax")),
-    ("raster.composite_kernel", ("_composite", "composite_flat")),
-    ("raster.sort", ("sort",)),
-    ("raster.scatter", ("scatter",)),
-    ("gather", ("gather",)),
-    ("conv", ("conv",)),
+    ("pallas.custom_call", ("closed_call", "checkpoint",
+                            "rematted_computation")),
+    ("sort", ("sort",)),
+    ("scatter", ("scatter", "select-and-scatter")),
+    ("conv", ("convolution",)),
     ("matmul", ("dot", "einsum")),
-    ("copy/transpose", ("copy", "transpose", "bitcast")),
+    ("copy/transpose", ("copy", "transpose", "bitcast.")),
+    ("dus/slice", ("dynamic-update-slice", "dynamic_update_slice",
+                   "dynamic-slice", "dynamic_slice", "slice")),
     ("reduce", ("reduce",)),
-    ("infeed/outfeed", ("infeed", "outfeed")),
-    ("allreduce", ("all-reduce", "allreduce")),
-    ("fusion.other", ("fusion", "loop_", "input_", "output_")),
+    ("collective", ("all-reduce", "allreduce", "all-gather",
+                    "collective")),
+    ("fusion", ("fusion",)),
 ]
 
 
 def classify(name, long_name):
-    s = (name + " " + long_name).lower()
+    del long_name
+    s = name.lower()
     for bucket, pats in BUCKETS:
         for p in pats:
             if p in s:

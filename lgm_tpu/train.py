@@ -70,10 +70,11 @@ def make_optimizer(opt: Options) -> optax.GradientTransformation:
 
 
 def create_state(opt: Options, rng: jax.Array, sample_data: Dict,
-                 backend: str = "auto",
+                 backend: Optional[str] = None,
                  mesh=None) -> Tuple[TrainState, LGMWithLoss]:
     dtype = jnp.bfloat16 if opt.mixed_precision == "bf16" else jnp.float32
-    model = LGMWithLoss(opt, dtype=dtype, rasterizer_backend=backend,
+    model = LGMWithLoss(opt, dtype=dtype,
+                        rasterizer_backend=backend or opt.rasterizer,
                         mesh=mesh)
     bg = jnp.ones(3)
     # jit the init: eager flax init dispatches op-by-op (minutes through

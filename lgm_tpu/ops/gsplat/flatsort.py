@@ -437,9 +437,11 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
     T_final = fo[4:5, :]
     gT = go[4:5, :]
     # U = sum_i s_i w_i over ALL accumulated channels: rgb+alpha (rows
-    # 0:4) and depth (row 5). Row 4 is T, handled by the gT term.
-    U_total = (jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)
-               + go[5:6] * fo[5:6])  # [1, P]
+    # 0:4) and depth (row 5). Row 4 is T, handled by the gT term —
+    # folded into U_eff here (loop-invariant [1, P]) so the chunk
+    # loop's dalpha needs ONE [G, P] division instead of two.
+    U_eff = (jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)
+             + go[5:6] * fo[5:6] + gT * T_final)  # [1, P]
 
     for k in range(NC):
         live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
@@ -473,8 +475,7 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
 
             active = alpha > 0.0
             om_safe = jnp.maximum(om, 1.0 - ALPHA_MAX)
-            dalpha = (s * Ti - (U_total - prefU_i) / om_safe
-                      - gT * T_final / om_safe)
+            dalpha = s * Ti - (U_eff - prefU_i) / om_safe
             dalpha = jnp.where(active, dalpha, 0.0)
             unclamped = araw < ALPHA_MAX
             dpower = dalpha * alpha * unclamped

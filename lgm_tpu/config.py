@@ -82,11 +82,15 @@ class Options:
     # measured default of the flatsort kernel (BENCHMARKS.md).
     max_gaussians_per_tile: int = 1024
     # Per-splat live-tile cap of the flatsort binning (None = backend
-    # default 16). Inference/quality surfaces use 32 (a big splat's
-    # visible tiles overflow 16 and truncate); the TRAINING default was
-    # A/B'd on the 2k-step synthetic curve in round 4 (BENCHMARKS.md
-    # "dup/MPT quality A/B") before being left at the backend default.
-    rasterizer_dup: Optional[int] = None
+    # default 16). TRAINING default 32, a measured round-4 choice
+    # (BENCHMARKS.md "dup quality/cost"): at training configuration
+    # dup=16 truncates renders vs the exact oracle (mean abs err 0.06
+    # on model-output scenes, 0.003 on synthetic supervision scenes;
+    # dup=32 halves both, dup=64 is oracle-clean), while the big-bs2
+    # step cost of 32 is within noise of 16 (412 vs 417 ms/step) and
+    # the small-preset curve cost is identical. Inference/quality
+    # surfaces already passed 32.
+    rasterizer_dup: Optional[int] = 32
     # Rasterizer backend: "auto" | "pallas" | "xla".
     rasterizer: str = "auto"
 

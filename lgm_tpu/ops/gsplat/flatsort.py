@@ -380,60 +380,74 @@ def _chunk_alpha_t(pf, pcoef, eye):
 
 
 def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr,
-                *, tiles_x, tile_w, tile_h, with_depth):
-    t = pl.program_id(0)
-    count = cnt_ref[t]
+                *, tiles_x, tile_w, tile_h, with_depth, kpt=1):
+    pid = pl.program_id(0)
     NC = params_ref.shape[1]
     P = pf_ref.shape[1]
     eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
-    tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
-    toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
+    # kpt tiles per grid step amortize the per-step Mosaic overhead
+    # (~3 us/step measured r4 — comparable to the whole per-tile compute
+    # on sparse scenes); scratch is reset and reused per tile.
+    for j in range(kpt):
+        t = pid * kpt + j
+        count = cnt_ref[t]
+        tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
+        toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
 
-    t_scr[:] = jnp.ones((1, P), jnp.float32)
-    acc_scr[:] = jnp.zeros((8, P), jnp.float32)
+        t_scr[:] = jnp.ones((1, P), jnp.float32)
+        acc_scr[:] = jnp.zeros((8, P), jnp.float32)
 
-    for k in range(NC):
-        live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
+        for k in range(NC):
+            live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
 
-        @pl.when(live)
-        def _(k=k):
-            pf = pf_ref[:]
-            blk = params_ref[0, k]
-            pcoef, colmat, _, _, _, _ = _coef_from_raw(
-                blk, tox, toy, with_depth)
-            alpha, om, _, _ = _chunk_alpha_t(pf, pcoef, eye)
-            cp = _prefix_prod_rows(om)
-            t_excl = _shift_rows(cp, 1, 1.0)
-            w = alpha * t_excl * t_scr[:]        # [G, P]
-            acc_scr[:] += jax.lax.dot_general(
-                colmat, w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # [8, P], full-width MXU contraction over G
-            t_scr[:] *= cp[G_CHUNK - 1:G_CHUNK, :]
+            @pl.when(live)
+            def _(j=j, k=k, tox=tox, toy=toy):
+                pf = pf_ref[:]
+                blk = params_ref[j, k]
+                pcoef, colmat, _, _, _, _ = _coef_from_raw(
+                    blk, tox, toy, with_depth)
+                alpha, om, _, _ = _chunk_alpha_t(pf, pcoef, eye)
+                cp = _prefix_prod_rows(om)
+                t_excl = _shift_rows(cp, 1, 1.0)
+                w = alpha * t_excl * t_scr[:]        # [G, P]
+                acc_scr[:] += jax.lax.dot_general(
+                    colmat, w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )  # [8, P], full-width MXU contraction over G
+                t_scr[:] *= cp[G_CHUNK - 1:G_CHUNK, :]
 
-    acc = acc_scr[:]
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-    out_ref[0] = jnp.where(row == 4, t_scr[:], acc)
+        acc = acc_scr[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+        out_ref[j] = jnp.where(row == 4, t_scr[:], acc)
 
 
 def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
                 dparams_ref, t_scr, prefu_scr,
-                *, tiles_x, tile_w, tile_h, with_depth):
-    t = pl.program_id(0)
-    count = cnt_ref[t]
+                *, tiles_x, tile_w, tile_h, with_depth, kpt=1):
+    pid = pl.program_id(0)
     NC = params_ref.shape[1]
     R = params_ref.shape[2]
     P = pf_ref.shape[1]
     eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
+    for j in range(kpt):
+        _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
+                  dparams_ref, t_scr, prefu_scr, eye, pid * kpt + j, j,
+                  NC, R, P, tiles_x, tile_w, tile_h, with_depth)
+
+
+def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
+              t_scr, prefu_scr, eye, t, j, NC, R, P, tiles_x, tile_w,
+              tile_h, with_depth):
+    count = cnt_ref[t]
     tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
     toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
 
     t_scr[:] = jnp.ones((1, P), jnp.float32)
     prefu_scr[:] = jnp.zeros((1, P), jnp.float32)
 
-    fo = fo_ref[0]
-    go = go_ref[0]
+    fo = fo_ref[j]
+    go = go_ref[j]
     T_final = fo[4:5, :]
     gT = go[4:5, :]
     # U = sum_i s_i w_i over ALL accumulated channels: rgb+alpha (rows
@@ -448,12 +462,12 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
 
         @pl.when(jnp.logical_not(live))
         def _(k=k):
-            dparams_ref[0, k] = jnp.zeros((R, G_CHUNK), jnp.float32)
+            dparams_ref[j, k] = jnp.zeros((R, G_CHUNK), jnp.float32)
 
         @pl.when(live)
         def _(k=k):
             pf = pf_ref[:]
-            blk = params_ref[0, k]
+            blk = params_ref[j, k]
             T = t_scr[:]                   # [1, P]
             prefU = prefu_scr[:]           # [1, P]
             pcoef, colmat, mx, my, c3, c4 = _coef_from_raw(
@@ -513,7 +527,7 @@ def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
             # _coef_from_raw)
             if with_depth:
                 rows.append(dcol[5:6])
-            dparams_ref[0, k] = jnp.concatenate(rows, axis=0)  # [R, G]
+            dparams_ref[j, k] = jnp.concatenate(rows, axis=0)  # [R, G]
 
             prefu_scr[:] = prefU + u_scan[G_CHUNK - 1:G_CHUNK, :]
             t_scr[:] = T * cp[G_CHUNK - 1:G_CHUNK, :]
@@ -533,19 +547,37 @@ def _pixel_features_t(tile_h: int, tile_w: int) -> jnp.ndarray:
     )
 
 
+# Tiles per Mosaic grid step. Swept on chip (r4, bench scene @512/65k):
+# cap 1/2/4/8 -> fwd 4.03/4.36/4.14/4.38, fwd+bwd 10.44/12.26/12.29/
+# 12.49 ms/view — batching tiles per step LOSES (same verdict as the
+# v3-era note: the per-step overhead is not recoverable by unrolling;
+# longer steps delay the output-block pipeline). Keep 1; the kpt
+# machinery stays (zero-cost at 1, interpret-tested) so the sweep is
+# one constant away from re-running on future hardware.
+KPT_CAP = 1
+
+
+def _pick_kpt(T: int) -> int:
+    k = 1
+    while k * 2 <= KPT_CAP and T % (k * 2) == 0:
+        k *= 2
+    return k
+
+
 def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
              with_depth):
     T, NC, R = params.shape[0], params.shape[1], params.shape[2]
     P = pf.shape[1]
+    kpt = _pick_kpt(T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // kpt,),
         in_specs=[
-            pl.BlockSpec((1, NC, R, G_CHUNK),
+            pl.BlockSpec((kpt, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
             pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
+        out_specs=pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((8, P), jnp.float32),
@@ -553,7 +585,7 @@ def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        with_depth=with_depth,
+        with_depth=with_depth, kpt=kpt,
     )
     return pl.pallas_call(
         kernel,
@@ -567,17 +599,18 @@ def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
              tile_h, with_depth):
     T, NC, R = params.shape[0], params.shape[1], params.shape[2]
     P = pf.shape[1]
+    kpt = _pick_kpt(T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // kpt,),
         in_specs=[
-            pl.BlockSpec((1, NC, R, G_CHUNK),
+            pl.BlockSpec((kpt, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
             pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
-            pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
-            pl.BlockSpec((1, 8, P), lambda t, cnt: (t, 0, 0)),
+            pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
+            pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, NC, R, G_CHUNK),
+        out_specs=pl.BlockSpec((kpt, NC, R, G_CHUNK),
                                lambda t, cnt: (t, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -586,7 +619,7 @@ def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        with_depth=with_depth,
+        with_depth=with_depth, kpt=kpt,
     )
     return pl.pallas_call(
         kernel,

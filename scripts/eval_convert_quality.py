@@ -122,23 +122,6 @@ def cross_surface_points(n=20000, seed=1):
     return np.concatenate(pts)[:n]
 
 
-SHAPES = {
-    # extent = max spatial span, for the %%-of-extent normalization.
-    "torus": (torus_gaussians, torus_sdf, torus_surface_points,
-              2 * (R_MAJ + R_MIN)),
-    "cross": (cross_gaussians, cross_sdf, cross_surface_points,
-              2 * (CAP_L + CAP_R)),
-}
-
-# (nerf_iters, mesh_iters, tex_iters, grid_resolution). "reference"
-# matches the reference pipeline budgets: 512-iter NeRF distill,
-# 2048-iter vertex fit, 512-iter texture fit, 256-grid extraction
-# (ref: convert.py:186-224, 263-361, 364-442).
-BUDGETS = {
-    "quick": (128, 96, 64, 128),
-    "default": (384, 256, 128, 192),
-    "reference": (512, 2048, 512, 256),
-}
 
 
 def torus_surface_points(n=20000, seed=1):
@@ -163,6 +146,25 @@ def sample_mesh_surface(verts, faces, n=20000, seed=2):
     t = tri[fi]
     return (t[:, 0] * (1 - a - b)[:, None] + t[:, 1] * a[:, None]
             + t[:, 2] * b[:, None]).astype(np.float32)
+
+
+SHAPES = {
+    # extent = max spatial span, for the %%-of-extent normalization.
+    "torus": (torus_gaussians, torus_sdf, torus_surface_points,
+              2 * (R_MAJ + R_MIN)),
+    "cross": (cross_gaussians, cross_sdf, cross_surface_points,
+              2 * (CAP_L + CAP_R)),
+}
+
+# (nerf_iters, mesh_iters, tex_iters, grid_resolution). "reference"
+# matches the reference pipeline budgets: 512-iter NeRF distill,
+# 2048-iter vertex fit, 512-iter texture fit, 256-grid extraction
+# (ref: convert.py:186-224, 263-361, 364-442).
+BUDGETS = {
+    "quick": (128, 96, 64, 128),
+    "default": (384, 256, 128, 192),
+    "reference": (512, 2048, 512, 256),
+}
 
 
 def main():

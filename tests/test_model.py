@@ -181,3 +181,25 @@ def test_no_dead_config_knobs():
         if not re.search(pat, src):
             dead.append(f.name)
     assert not dead, f"Options fields with no reader in lgm_tpu/: {dead}"
+
+
+def test_rasterizer_dup_knob_reaches_renderer(monkeypatch):
+    """config.rasterizer_dup must propagate to the render call (the
+    measured round-4 default of 32 is meaningless if the plumb breaks)."""
+    import lgm_tpu.models.lgm as lgm_mod
+
+    seen = {}
+    real = lgm_mod.render_views
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(lgm_mod, "render_views", spy)
+    opt = get_config("nano").replace(rasterizer_dup=24)
+    batch = make_batch(np.random.default_rng(0), opt, batch_size=1,
+                       n_gaussians=32)
+    data = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenes"}
+    model = LGMWithLoss(opt, rasterizer_backend="xla")
+    model.init(jax.random.PRNGKey(0), data, jnp.ones(3))
+    assert seen.get("dup") == 24

@@ -137,15 +137,18 @@ def main():
     # Scatter-add backward: measured per-index floor on this chip
     # (scripts/microbench_gs.py: ~14.5 ns/row across all layouts).
     scatter_s = len(counts) * MPT * 14.5e-9
-    # Flat [1M] i32 bitonic sort: ~log2(1M)^2/2 = 200 passes x 4 MB
-    # read+write through VMEM/HBM.
-    sort_bytes = 200 * 2 * 4 * len(counts) * MPT * 4
+    # Flat [N*dup] i32 bitonic sort: ~log2(n)*(log2(n)+1)/2 = 210
+    # compare-exchange passes over the 4 MB key array, each reading and
+    # writing it once.
+    n_keys = N * DUP
+    passes = 210
+    sort_s = passes * 2 * 4 * n_keys / HBM
     bounds = {
         "composite fwd kernel": fwd_ops / VPU,
         "composite bwd kernel": bwd_ops / VPU,
         "slot gather": gather_s,
         "scatter-add (bwd)": scatter_s,
-        "flat sort [1M]": sort_bytes / HBM / 200 * 210 / 2,  # ~1 pass set
+        "flat sort [1M]": sort_s,
         "projection fwd": (14 + 9) * 4 * N / HBM,
     }
     print("\nstage bounds (bench scene, per view):")

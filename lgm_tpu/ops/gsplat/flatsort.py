@@ -752,15 +752,16 @@ def _prepare_view(gaussians, view, image_size, tan_half_fov,
     # remaining glue between the binning sort and the kernel is the
     # gather itself plus this layout transpose to feature-major rows.
     #
-    # Residual naming: the feature-major PARAMS (not the row-major
-    # gather output `a` — [T*MPT, 9] rows lane-pad 14x to 134 MB/view
-    # under (8,128) tiling; the transposed layout stores ~17 MB), so the
-    # checkpointed backward starts at d(params) with zero kernel replay.
+    # params needs NO checkpoint_name: it is the checkpointed REGION'S
+    # OUTPUT (render_views_flatsort wraps exactly this function), so it
+    # is live for the backward already — naming it as well risks a
+    # duplicate saved copy per view (the bs8-small recipe sits at
+    # 15.7 of 15.75 GiB). The row-major gather output `a` must still
+    # never be a residual ([T*MPT, 9] rows lane-pad 14x to 134 MB/view
+    # under (8,128) tiling; the transposed layout stores ~17 MB).
     R = a.shape[1]  # 9, or 10 with depth
-    params = checkpoint_name(
-        a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2), CKPT_NAME
-    )  # [T, NC, R, G]
-    return params, counts
+    params = a.reshape(T, NC, G_CHUNK, R).transpose(0, 1, 3, 2)
+    return params, counts  # [T, NC, R, G], [T]
 
 
 def _prepare_and_composite(gaussians, view, image_size, tan_half_fov,

@@ -57,6 +57,21 @@ def main():
 
         t0 = time.time()
         pipe = MVDreamPipeline.from_config("imagedream", seed=0)
+        # Timing uses random weights; prompt encoding still needs a real
+        # tokenizer since the r3 fail-loud guard (the hash stand-in is
+        # test-config-only). The committed BPE fixture exercises the
+        # exact branch real checkpoints take; its ids (< 56) are valid
+        # rows of the 49408-entry embedding.
+        from transformers import CLIPTokenizer
+
+        fixture = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", "fixtures", "clip_tokenizer")
+        tok = CLIPTokenizer.from_pretrained(fixture)
+        pipe.tokenizer = lambda text: np.asarray(
+            tok(text, padding="max_length",
+                max_length=pipe.cfg.max_tokens, truncation=True,
+                return_tensors="np").input_ids)
         print(f"pipeline init: {time.time() - t0:.1f}s")
 
         img = np.random.default_rng(0).uniform(

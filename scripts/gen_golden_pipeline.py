@@ -224,8 +224,18 @@ def main():
                camera=cam)
     for k, v in unet_ip.state_dict().items():
         out["unet_sd/" + k] = v.numpy().astype(np.float32)
-    for k, v in vision_model.state_dict().items():
-        out["vision_sd/" + k] = v.numpy().astype(np.float32)
+    # The vision tower at canonical ViT-H dims (1280/5120) is ~161 MB of
+    # f32 — committing it bloats every clone (ADVICE r4). Its weights
+    # are pure seeded torch init, so the fixture stores only (seed,
+    # config, checksum); tests/test_golden_pipeline.py reconstructs the
+    # state dict with the same transformers init and validates the
+    # checksum (a drifted torch init fails loudly with a regen hint).
+    out["vision_seed"] = np.int64(22)
+    for kk, vv in VISION_CFG.items():
+        out["vision_cfg/" + kk] = np.int64(vv)
+    out["vision_checksum"] = np.float64(
+        sum(float(v.to(torch.float64).sum())
+            for v in vision_model.state_dict().values()))
     np.savez_compressed(os.path.join(dst_dir, "pipeline_ip_tiny.npz"),
                         **out)
     print(f"pipeline_ip_tiny.npz: latents {latf.shape} images "

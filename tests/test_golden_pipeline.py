@@ -40,6 +40,29 @@ def _pt_to_flax(sd, flax_model, torch_cls, flax_cls):
     return fm.params
 
 
+def _regen_vision_sd(data):
+    """Reconstruct the oracle's CLIP vision-tower state dict from the
+    (seed, config, checksum) the fixture stores instead of 161 MB of
+    seeded-random f32 weights (ADVICE r4). A torch init-behavior drift
+    would change the weights silently, so the checksum fails loudly with
+    a regeneration hint."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = {k[len("vision_cfg/"):]: int(data[k]) for k in data.files
+           if k.startswith("vision_cfg/")}
+    torch.manual_seed(int(data["vision_seed"]))
+    m = CLIPVisionModel(CLIPVisionConfig(**cfg)).eval()
+    sd = {k: v.numpy().astype(np.float32)
+          for k, v in m.state_dict().items()}
+    chk = sum(float(v.astype(np.float64).sum()) for v in sd.values())
+    want = float(data["vision_checksum"])
+    assert abs(chk - want) <= 1e-3 * max(1.0, abs(want)), (
+        f"seeded vision-tower init drifted (checksum {chk} != {want}); "
+        "re-run scripts/gen_golden_pipeline.py to refresh the fixture")
+    return sd
+
+
 def _build_pipe(name, data, with_vision):
     from lgm_tpu.diffusion.pipeline import CONFIGS, MVDreamPipeline
     from lgm_tpu.tools.convert_diffusion import (convert_component,
@@ -61,7 +84,7 @@ def _build_pipe(name, data, with_vision):
     }
     if with_vision:
         params["image_encoder"] = _pt_to_flax(
-            _group(data, "vision_sd/"), pipe._vision_model,
+            _regen_vision_sd(data), pipe._vision_model,
             CLIPVisionModel, FlaxCLIPVisionModel)
     pipe.params = params
     return pipe

@@ -156,30 +156,34 @@ def test_no_dead_config_knobs():
     """Every Options field must have a reader in lgm_tpu/ (VERDICT r2
     flagged silently-ignored knobs; round 3 wired or deleted them —
     this pins the invariant so new fields can't regress it)."""
+    import ast
     import dataclasses
     import glob as _glob
-    import re
 
     from lgm_tpu.config import Options
 
     import os
 
     root = os.path.join(os.path.dirname(__file__), "..", "lgm_tpu")
-    src = ""
+    # AST-based (ADVICE r4: a regex `name\s*=` counted unrelated local
+    # assignments as readers). A reader is a real ATTRIBUTE access
+    # (opt.name / self.opt.name) or a KEYWORD argument in a call
+    # (fn(name=...)); a bare local assignment with the same name is not.
+    reads = set()
     for p in _glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
         # config.py itself doesn't count: preset definitions (tile_h=8)
         # would self-satisfy the keyword pattern.
         if os.path.basename(p) == "config.py":
             continue
         with open(p) as f:
-            src += f.read()
-    dead = []
-    for f in dataclasses.fields(Options):
-        # A reader is an attribute access (opt.name / self.opt.name) or
-        # a keyword use (name=...) anywhere outside config.py itself.
-        pat = r"(?:\.\s*" + f.name + r"\b|\b" + f.name + r"\s*=)"
-        if not re.search(pat, src):
-            dead.append(f.name)
+            tree = ast.parse(f.read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute):
+                reads.add(node.attr)
+            elif isinstance(node, ast.keyword) and node.arg:
+                reads.add(node.arg)
+    dead = [f.name for f in dataclasses.fields(Options)
+            if f.name not in reads]
     assert not dead, f"Options fields with no reader in lgm_tpu/: {dead}"
 
 

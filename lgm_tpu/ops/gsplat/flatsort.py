@@ -282,14 +282,16 @@ _permute_rows.defvjp(_pr_fwd, _pr_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _shift_rows(x, shift: int, fill: float):
-    """Shift down along the sublane (row) axis, filling vacated rows."""
-    rolled = pltpu.roll(x, shift=shift, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(row < shift, fill, rolled)
+def _row_masks():
+    """The 7 static [G, 1] row masks of the Hillis-Steele networks,
+    built ONCE per tile (r5): a fresh [G, P] broadcasted_iota + compare
+    per shift step was ~12% of the whole fwd kernel
+    (scripts/kernelbench_body.py, `hoistmask` variant)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, 1), 0)
+    return [(s, row < s) for s in (1, 2, 4, 8, 16, 32, 64)]
 
 
-def _prefix_prod_rows(x):
+def _prefix_prod_rows(x, masks):
     """Inclusive prefix product along the 128-row axis (Hillis-Steele).
 
     Measured-and-rejected alternative (r4, on chip): a lower-triangular
@@ -300,16 +302,91 @@ def _prefix_prod_rows(x):
     contractions), f32 MXU runs at quarter rate, and the log/exp
     transcendentals cost more VPU than the 7-step shift network they
     replace. The shift network stays."""
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        x = x * _shift_rows(x, s, 1.0)
+    for (s, m) in masks:
+        x = x * jnp.where(m, 1.0, pltpu.roll(x, shift=s, axis=0))
     return x
 
 
-def _prefix_sum_rows(x):
-    """Inclusive prefix sum along the 128-row axis (Hillis-Steele)."""
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        x = x + _shift_rows(x, s, 0.0)
-    return x
+# ---------------------------------------------------------------------------
+# Split-K bf16 contractions (r5)
+#
+# The r4 roofline put the composite kernels at ~20% of their VPU-op
+# bound; r5 attribution (scripts/kernelbench_body2.py) found the real
+# sink is the MXU: every in-kernel contraction ran f32-HIGHEST (6 bf16
+# passes) and the hot ones contract tiny K=8 feature axes the MXU pads
+# to 128 lanes (6% utilization x 6 passes). The pixel-feature rows are
+# small INTEGERS (x², y², xy <= 961; x, y <= 31; 1) — exactly one or
+# two bf16 terms — and an f32 coefficient splits into three bf16 terms
+# capturing its full mantissa. Expanding each (coef term x pf term)
+# product as its own contraction row turns the rank-6 quadratic into a
+# K=27 bf16 DEFAULT matmul: ONE MXU pass (K <= 128 pads regardless),
+# f32-faithful to ~4e-7 relative (numpy-validated; on-chip kernel delta
+# vs HIGHEST 8.9e-7). Measured: fwd kernel 1.11 -> 0.82 ms/view on the
+# bench scene (scripts/kernelbench_body3.py). The same hi/lo idea at
+# 16-bit capture (rel ~2^-16) replaces HIGHEST in the backward's
+# gradient contractions, where K=8 or M=8 padding made 6-pass f32 cost
+# 6-12x its useful work.
+# ---------------------------------------------------------------------------
+
+# Per-feature pf term counts for the power split: x², y², xy need two
+# exact bf16 terms, x, y, 1 are exact in one.
+_PF_TERMS = (2, 2, 2, 1, 1, 1)
+_KPAD = 32  # 3 coef terms x sum(_PF_TERMS) = 27 rows, padded to bf16 tile
+
+
+def _pf_split_t(tile_h: int, tile_w: int) -> jnp.ndarray:
+    """[_KPAD, P] bf16 RHS of the split power contraction (static)."""
+    pf = _pixel_features_t(tile_h, tile_w)
+    rows = []
+    for f in range(6):
+        if _PF_TERMS[f] == 2:
+            hi = pf[f].astype(jnp.bfloat16).astype(jnp.float32)
+            terms = [hi, pf[f] - hi]
+        else:
+            terms = [pf[f]]
+        for _ in range(3):  # one copy per coefficient term
+            rows.extend(terms)
+    rows.extend([jnp.zeros_like(pf[0])] * (_KPAD - len(rows)))
+    return jnp.stack(rows, 0).astype(jnp.bfloat16)
+
+
+def _pf_hilo_t(tile_h: int, tile_w: int) -> jnp.ndarray:
+    """[16, P] bf16: rows 0-7 = bf16(pf), rows 8-15 = the exact bf16
+    remainder — the backward's dcoef contraction LHS (static)."""
+    pf = _pixel_features_t(tile_h, tile_w)
+    hi = pf.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.concatenate([hi, pf - hi], axis=0).astype(jnp.bfloat16)
+
+
+def _split3_rows(c):
+    """[1, G] f32 -> three bf16 terms capturing the full mantissa."""
+    t1 = c.astype(jnp.bfloat16).astype(jnp.float32)
+    r = c - t1
+    t2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return t1, t2, r - t2
+
+
+def _hilo(x):
+    """bf16 hi/lo pair of an f32 array (16-bit capture, rel ~2^-16)."""
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _power_split(pcoef, pfs):
+    """power [G, P] from the split-K bf16 contraction (see block
+    comment). Row order must match _pf_split_t."""
+    rows = []
+    for f in range(6):
+        for t in _split3_rows(pcoef[f:f + 1]):
+            rows.extend([t] * _PF_TERMS[f])
+    zeros = jnp.zeros_like(pcoef[0:1])
+    rows.extend([zeros] * (_KPAD - len(rows)))
+    lhs = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        lhs, pfs,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _coef_from_raw(blk, tox, toy, with_depth):
@@ -352,19 +429,22 @@ def _coef_from_raw(blk, tox, toy, with_depth):
     return pcoef, colmat, mx, my, c3, c4
 
 
-def _chunk_alpha_t(pf, pcoef, eye):
-    """Alpha for one [G, P] block in the transposed layout.
+def _chunk_alpha_t(pfs, pcoef, eye):
+    """Alpha for one [G, P] block in the transposed layout. ``pfs`` is
+    the static [_KPAD, P] bf16 split pixel-feature block; ``eye`` is a
+    bf16 identity (exactly representable).
 
     Returns (alpha, one_minus_alpha, araw, power)."""
-    power = jax.lax.dot_general(
-        pcoef, pf,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [G, P]
+    power = _power_split(pcoef, pfs)  # [G, P] (f32-faithful, one pass)
     # Opacity is stored as a lane-vector [1, G]; broadcast it across the
-    # pixel lanes by an identity matmul transpose -> [G, 1].
+    # pixel lanes by an identity-matmul transpose -> [G, 1]. f32-HIGHEST
+    # with an exact-bf16-representable identity reconstructs op exactly
+    # (hi/mid/lo terms sum back bit-exact); N=1 keeps it cheap. (r5
+    # measured-and-rejected: splitting op's three exact terms onto the
+    # N axis of one bf16 DEFAULT pass + a 3-lane row sum — the narrow
+    # [G, 3] output relayout cost more than the 6-pass matmul saved.)
     op_col = jax.lax.dot_general(
-        eye, pcoef[6:7],
+        eye.astype(jnp.float32), pcoef[6:7],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
     )  # [G, 1]
@@ -379,12 +459,13 @@ def _chunk_alpha_t(pf, pcoef, eye):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr,
+def _fwd_kernel(cnt_ref, params_ref, pfs_ref, out_ref, t_scr, acc_scr,
                 *, tiles_x, tile_w, tile_h, with_depth, kpt=1):
     pid = pl.program_id(0)
     NC = params_ref.shape[1]
-    P = pf_ref.shape[1]
-    eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
+    P = pfs_ref.shape[1]
+    eye = jnp.eye(G_CHUNK, dtype=jnp.bfloat16)
+    masks = _row_masks()
     # kpt tiles per grid step amortize the per-step Mosaic overhead
     # (~3 us/step measured r4 — comparable to the whole per-tile compute
     # on sparse scenes); scratch is reset and reused per tile.
@@ -402,19 +483,27 @@ def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr,
 
             @pl.when(live)
             def _(j=j, k=k, tox=tox, toy=toy):
-                pf = pf_ref[:]
+                pfs = pfs_ref[:]
                 blk = params_ref[j, k]
                 pcoef, colmat, _, _, _, _ = _coef_from_raw(
                     blk, tox, toy, with_depth)
-                alpha, om, _, _ = _chunk_alpha_t(pf, pcoef, eye)
-                cp = _prefix_prod_rows(om)
-                t_excl = _shift_rows(cp, 1, 1.0)
+                alpha, om, _, _ = _chunk_alpha_t(pfs, pcoef, eye)
+                cp = _prefix_prod_rows(om, masks)
+                t_excl = jnp.where(masks[0][1], 1.0,
+                                   pltpu.roll(cp, shift=1, axis=0))
                 w = alpha * t_excl * t_scr[:]        # [G, P]
+                # Full-width MXU contraction over G, f32-HIGHEST. (r5
+                # measured-and-rejected: three bf16 DEFAULT passes over
+                # hi/lo splits regressed the fwd kernel 0.49 -> 0.89
+                # ms/view — the two [G, P] split casts plus three
+                # accumulator adds cost more VPU than the saved MXU
+                # passes, unlike the backward's contractions where the
+                # same trick wins.)
                 acc_scr[:] += jax.lax.dot_general(
                     colmat, w,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
-                )  # [8, P], full-width MXU contraction over G
+                )  # [8, P]
                 t_scr[:] *= cp[G_CHUNK - 1:G_CHUNK, :]
 
         acc = acc_scr[:]
@@ -422,26 +511,32 @@ def _fwd_kernel(cnt_ref, params_ref, pf_ref, out_ref, t_scr, acc_scr,
         out_ref[j] = jnp.where(row == 4, t_scr[:], acc)
 
 
-def _bwd_kernel(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
+def _bwd_kernel(cnt_ref, params_ref, pfs_ref, pf2_ref, fo_ref, go_ref,
                 dparams_ref, t_scr, prefu_scr,
                 *, tiles_x, tile_w, tile_h, with_depth, kpt=1):
     pid = pl.program_id(0)
     NC = params_ref.shape[1]
     R = params_ref.shape[2]
-    P = pf_ref.shape[1]
-    eye = jnp.eye(G_CHUNK, dtype=jnp.float32)
+    P = pfs_ref.shape[1]
+    eye = jnp.eye(G_CHUNK, dtype=jnp.bfloat16)
     for j in range(kpt):
-        _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref,
+        _bwd_tile(cnt_ref, params_ref, pfs_ref, pf2_ref, fo_ref, go_ref,
                   dparams_ref, t_scr, prefu_scr, eye, pid * kpt + j, j,
                   NC, R, P, tiles_x, tile_w, tile_h, with_depth)
 
 
-def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
-              t_scr, prefu_scr, eye, t, j, NC, R, P, tiles_x, tile_w,
-              tile_h, with_depth):
+def _bwd_tile(cnt_ref, params_ref, pfs_ref, pf2_ref, fo_ref, go_ref,
+              dparams_ref, t_scr, prefu_scr, eye, t, j, NC, R, P,
+              tiles_x, tile_w, tile_h, with_depth):
     count = cnt_ref[t]
     tox = ((t % tiles_x) * tile_w).astype(jnp.float32)
     toy = ((t // tiles_x) * tile_h).astype(jnp.float32)
+    masks = _row_masks()
+    # Exact lower-triangular ones (bf16) for the u prefix-sum
+    # contraction; built once per tile.
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 0)
+           >= jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 1)
+           ).astype(jnp.bfloat16)
 
     t_scr[:] = jnp.ones((1, P), jnp.float32)
     prefu_scr[:] = jnp.zeros((1, P), jnp.float32)
@@ -456,6 +551,10 @@ def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
     # loop's dalpha needs ONE [G, P] division instead of two.
     U_eff = (jnp.sum(go[0:4] * fo[0:4], axis=0, keepdims=True)
              + go[5:6] * fo[5:6] + gT * T_final)  # [1, P]
+    # 16-bit hi/lo capture of the output cotangent rows, shared by the
+    # chunk loop's s and dcol contractions (loop-invariant; see the
+    # split-K block comment — gradients tolerate rel ~2^-16).
+    go_hi, go_lo = _hilo(go)
 
     for k in range(NC):
         live = (k * G_CHUNK < count) & (jnp.max(t_scr[:]) > T_EPS)
@@ -466,25 +565,51 @@ def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
 
         @pl.when(live)
         def _(k=k):
-            pf = pf_ref[:]
+            pfs = pfs_ref[:]
             blk = params_ref[j, k]
             T = t_scr[:]                   # [1, P]
             prefU = prefu_scr[:]           # [1, P]
             pcoef, colmat, mx, my, c3, c4 = _coef_from_raw(
                 blk, tox, toy, with_depth)
-            alpha, om, araw, power = _chunk_alpha_t(pf, pcoef, eye)
-            cp = _prefix_prod_rows(om)
-            t_excl = _shift_rows(cp, 1, 1.0)
+            alpha, om, araw, power = _chunk_alpha_t(pfs, pcoef, eye)
+            cp = _prefix_prod_rows(om, masks)
+            t_excl = jnp.where(masks[0][1], 1.0,
+                               pltpu.roll(cp, shift=1, axis=0))
             Ti = t_excl * T                # [G, P]
             w = alpha * Ti
 
+            # s = colmat^T @ go: K=8 at f32-HIGHEST was 6 passes at 6%
+            # MXU K-utilization; hi/lo-split both operands and expand
+            # the (hi*hi, hi*lo, lo*hi) products as their own K rows ->
+            # one bf16 DEFAULT pass, K=24 (pads to 128 anyway).
+            cm_hi, cm_lo = _hilo(colmat)
+            s_lhs = jnp.concatenate(
+                [cm_hi, cm_hi, cm_lo], axis=0)          # [24, G]
+            s_rhs = jnp.concatenate(
+                [go_hi, go_lo, go_hi], axis=0)          # [24, P]
             s = jax.lax.dot_general(
-                colmat, go,
+                s_lhs, s_rhs,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
+                preferred_element_type=jnp.float32,
             )  # [G, P]
             u = s * w
-            u_scan = _prefix_sum_rows(u)
+            # Inclusive prefix sum over splat rows as TWO bf16 DEFAULT
+            # contractions against an exact lower-triangular ones matrix
+            # (r5): K=128 is fully utilized, so this beats the 21-op
+            # Hillis-Steele shift network the product scan still needs.
+            # (r4 rejected MXU scans at f32-HIGHEST — 6 passes plus
+            # log/exp for the PRODUCT scan; the sum scan with split
+            # operands has neither cost.)
+            u_hi, u_lo = _hilo(u)
+            tridims = (((1,), (0,)), ((), ()))
+            u_scan = (
+                jax.lax.dot_general(
+                    tri, u_hi, dimension_numbers=tridims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    tri, u_lo, dimension_numbers=tridims,
+                    preferred_element_type=jnp.float32)
+            )
             prefU_i = prefU + u_scan
 
             active = alpha > 0.0
@@ -494,11 +619,21 @@ def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
             unclamped = araw < ALPHA_MAX
             dpower = dalpha * alpha * unclamped
 
-            dcoef = jax.lax.dot_general(
-                pf, dpower,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # [8, G] rows = d/d(c0..c5), rows 6-7 zero (pf rows 6-7)
+            # dcoef = pf @ dpower^T (contract pixels): M=8 pads to 128,
+            # so stacking the pf hi/lo rows on M is free, and stacking
+            # the dpower hi/lo halves on N costs one extra 128-block —
+            # one bf16 DEFAULT pass replaces 6 HIGHEST passes; the
+            # dropped lo*lo term is rel ~2^-16.
+            dp_hi, dp_lo = _hilo(dpower)
+            pdims = (((1,), (1,)), ((), ()))
+            dc_a = jax.lax.dot_general(
+                pf2_ref[:], dp_hi, dimension_numbers=pdims,
+                preferred_element_type=jnp.float32)  # [16, G]
+            dc_b = jax.lax.dot_general(
+                pf2_ref[0:8], dp_lo, dimension_numbers=pdims,
+                preferred_element_type=jnp.float32)  # [8, G]
+            dcoef = dc_a[0:8] + dc_a[8:16] + dc_b
+            # [8, G] rows = d/d(c0..c5), rows 6-7 zero (pf rows 6-7)
             # dL/d(op) = sum_p dalpha*e = sum_p dpower / op (alpha = op*e
             # wherever dpower != 0), and sum_p dpower is dcoef's constant-
             # feature row (pf row 5 == 1) — no extra K=P matmul needed.
@@ -516,11 +651,20 @@ def _bwd_tile(cnt_ref, params_ref, pf_ref, fo_ref, go_ref, dparams_ref,
             dB = -dc2 + my * dc3 + mx * dc4 - mx * my * dc5
             dx = A * dc3 + B * dc4 - c3 * dc5
             dy = B * dc3 + C * dc4 - c4 * dc5
-            dcol = jax.lax.dot_general(
-                go, w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # [8, G] (rows 0..3 rgb+alpha, row 5 depth meaningful)
+            # dcol = go @ w^T: same M-pad hi/lo structure (go splits are
+            # loop-invariant, hoisted above).
+            w_hi, w_lo = _hilo(w)
+            dl_a = jax.lax.dot_general(
+                go_hi, w_hi, dimension_numbers=pdims,
+                preferred_element_type=jnp.float32)  # [8, G]
+            dl_b = jax.lax.dot_general(
+                go_lo, w_hi, dimension_numbers=pdims,
+                preferred_element_type=jnp.float32)
+            dl_c = jax.lax.dot_general(
+                go_hi, w_lo, dimension_numbers=pdims,
+                preferred_element_type=jnp.float32)
+            dcol = dl_a + dl_b + dl_c
+            # [8, G] (rows 0..3 rgb+alpha, row 5 depth meaningful)
             rows = [dx, dy, dA, dB, dC, dop,
                     dcol[0:1], dcol[1:2], dcol[2:3]]  # explicit [1, G]
             # rows (a mixed-width concat mis-lowers in Mosaic, see
@@ -564,10 +708,10 @@ def _pick_kpt(T: int) -> int:
     return k
 
 
-def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
+def _run_fwd(params, counts, pfs, interpret, tiles_x, tile_w, tile_h,
              with_depth):
     T, NC, R = params.shape[0], params.shape[1], params.shape[2]
-    P = pf.shape[1]
+    P = pfs.shape[1]
     kpt = _pick_kpt(T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -575,7 +719,7 @@ def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
         in_specs=[
             pl.BlockSpec((kpt, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
-            pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
+            pl.BlockSpec((_KPAD, P), lambda t, cnt: (0, 0)),
         ],
         out_specs=pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
         scratch_shapes=[
@@ -592,13 +736,13 @@ def _run_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=interpret,
-    )(counts, params, pf)
+    )(counts, params, pfs)
 
 
-def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
-             tile_h, with_depth):
+def _run_bwd(params, counts, pfs, pf2, fo, go, interpret, tiles_x,
+             tile_w, tile_h, with_depth):
     T, NC, R = params.shape[0], params.shape[1], params.shape[2]
-    P = pf.shape[1]
+    P = pfs.shape[1]
     kpt = _pick_kpt(T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -606,7 +750,8 @@ def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
         in_specs=[
             pl.BlockSpec((kpt, NC, R, G_CHUNK),
                          lambda t, cnt: (t, 0, 0, 0)),
-            pl.BlockSpec((8, P), lambda t, cnt: (0, 0)),
+            pl.BlockSpec((_KPAD, P), lambda t, cnt: (0, 0)),
+            pl.BlockSpec((16, P), lambda t, cnt: (0, 0)),
             pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
             pl.BlockSpec((kpt, 8, P), lambda t, cnt: (t, 0, 0)),
         ],
@@ -626,27 +771,28 @@ def _run_bwd(params, counts, pf, fo, go, interpret, tiles_x, tile_w,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(params.shape, jnp.float32),
         interpret=interpret,
-    )(counts, params, pf, fo, go)
+    )(counts, params, pfs, pf2, fo, go)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _composite_flat(params, counts, pf, interpret, tiles_x, tile_w,
+def _composite_flat(params, counts, pfs, interpret, tiles_x, tile_w,
                     tile_h, with_depth):
-    return _run_fwd(params, counts, pf, interpret, tiles_x, tile_w,
+    return _run_fwd(params, counts, pfs, interpret, tiles_x, tile_w,
                     tile_h, with_depth)
 
 
-def _cf_fwd(params, counts, pf, interpret, tiles_x, tile_w, tile_h,
+def _cf_fwd(params, counts, pfs, interpret, tiles_x, tile_w, tile_h,
             with_depth):
-    out = _run_fwd(params, counts, pf, interpret, tiles_x, tile_w,
+    out = _run_fwd(params, counts, pfs, interpret, tiles_x, tile_w,
                    tile_h, with_depth)
-    return out, (params, counts, pf, out)
+    return out, (params, counts, pfs, out)
 
 
 def _cf_bwd(interpret, tiles_x, tile_w, tile_h, with_depth, res, go):
-    params, counts, pf, fo = res
-    dparams = _run_bwd(params, counts, pf, fo, go, interpret, tiles_x,
-                       tile_w, tile_h, with_depth)
+    params, counts, pfs, fo = res
+    dparams = _run_bwd(params, counts, pfs, _pf_hilo_t(tile_h, tile_w),
+                       fo, go, interpret, tiles_x, tile_w, tile_h,
+                       with_depth)
     return dparams, None, None
 
 
@@ -774,8 +920,8 @@ def _prepare_and_composite(gaussians, view, image_size, tan_half_fov,
         tile_h, tile_w, dup, max_per_tile, with_depth,
     )
     tiles_x = image_size // tile_w
-    pf = _pixel_features_t(tile_h, tile_w)
-    out = _composite_flat(params, counts, pf, interpret, tiles_x,
+    pfs = _pf_split_t(tile_h, tile_w)
+    out = _composite_flat(params, counts, pfs, interpret, tiles_x,
                           tile_w, tile_h, with_depth)
     return out, counts
 
@@ -836,7 +982,7 @@ def render_views_flatsort(
     v_flat = cam_view.reshape(B * V, 4, 4)
     bg_flat = bg.reshape(B * V, 3)
     tiles_x = image_size // tile_w
-    pf = _pixel_features_t(tile_h, tile_w)
+    pfs = _pf_split_t(tile_h, tile_w)
 
     @functools.partial(
         jax.checkpoint,
@@ -852,7 +998,7 @@ def render_views_flatsort(
     def one(args):
         i, v, b = args
         params, counts = prep(i, v)
-        o = _composite_flat(params, counts, pf, interpret, tiles_x,
+        o = _composite_flat(params, counts, pfs, interpret, tiles_x,
                             tile_w, tile_h, with_depth)
         return _pack_output(o, b, image_size, tile_h, tile_w,
                             with_depth, channels_first=True)

@@ -160,7 +160,7 @@ def main():
         return params, meta.counts
 
     params, counts = jax.block_until_ready(build_inputs(g))
-    pf = flatsort._pixel_features_t(32, 32)
+    pf = flatsort._pf_split_t(32, 32)
 
     t = chained(
         jax, jnp,

@@ -190,7 +190,7 @@ def main():
 
     overhead = roundtrip()
     bg = jnp.ones(3)
-    pf = flatsort._pixel_features_t(TILE, TILE)
+    pf = flatsort._pf_split_t(TILE, TILE)
     tiles_x = S // TILE
     paramsj = jnp.asarray(params)
     countsj = jnp.asarray(counts)

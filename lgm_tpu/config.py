@@ -50,6 +50,15 @@ class Options:
     # None keeps the deterministic random-VGG init (see models/lpips.py).
     lpips_weights: Optional[str] = None
     gradient_clip: float = 1.0
+    # Fog-collapse guard (off by default = reference loss parity). The
+    # synthetic 2k-step protocol at peak lr 4e-4 can fall into a "fog"
+    # basin: the model emits a near-constant screen-covering cloud
+    # (opacity ~0.75, scale mean ~0.22) and per-splat gradients vanish
+    # (BENCHMARKS.md round-4 diagnosis). This penalizes only the
+    # pathology: mean(relu(scale - 0.1)) over activated scales, zero for
+    # any splat smaller than 0.1 scene units, so a healthy model pays
+    # nothing. Measured effect: see BENCHMARKS.md round-5 curve table.
+    lambda_scale_reg: float = 0.0
     # Model compute dtype: "bf16" (reference training recipe,
     # acc_configs/gpu8.yaml) or "fp32". Rasterizer + loss stay f32
     # either way (see BENCHMARKS.md bf16-compositing note).
@@ -88,8 +97,10 @@ class Options:
     # on model-output scenes, 0.003 on synthetic supervision scenes;
     # dup=32 halves both, dup=64 is oracle-clean), while the big-bs2
     # step cost of 32 is within noise of 16 (412 vs 417 ms/step) and
-    # the small-preset curve cost is identical. Inference/quality
-    # surfaces already passed 32.
+    # the small-preset curve cost is identical. dup=64 is NOT free:
+    # 448.5 vs 386.5 ms/step at big-bs2 (r5 measurement, BENCHMARKS.md
+    # dup table) — oracle-clean rendering costs +16% step time, so 64
+    # stays an opt-in for quality-critical runs.
     rasterizer_dup: Optional[int] = 32
     # Rasterizer backend: "auto" | "pallas" | "xla".
     rasterizer: str = "auto"

@@ -245,6 +245,16 @@ class LGMWithLoss(nn.Module):
             "psnr": psnr(jax.lax.stop_gradient(pred_images), gt_images),
         }
 
+        if opt.lambda_scale_reg > 0:
+            # Collapse guard (see config.lambda_scale_reg): penalize only
+            # splats wider than 0.1 scene units — the fog basin's
+            # screen-covering cloud — leaving healthy splats untouched.
+            too_big = jax.nn.relu(
+                gaussians[..., 4:7].astype(jnp.float32) - 0.1)
+            loss_reg = jnp.mean(too_big)
+            out["loss_reg"] = loss_reg
+            loss = loss + opt.lambda_scale_reg * loss_reg
+
         if opt.lambda_lpips > 0:
             # LPIPS is frozen: no gradient flows into its parameters (the
             # reference excludes them from training and checkpoints,

@@ -125,6 +125,8 @@ def train_step(state: TrainState, data: Dict, rng: jax.Array):
     }
     if "loss_lpips" in out:
         metrics["loss_lpips"] = out["loss_lpips"]
+    if "loss_reg" in out:
+        metrics["loss_reg"] = out["loss_reg"]
     return state, metrics
 
 

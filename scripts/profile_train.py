@@ -74,6 +74,8 @@ def main():
     p.add_argument("--no-lpips", action="store_true",
                    help="set lambda_lpips=0 (isolates the in-step LPIPS "
                         "+ resize share by difference against a normal run)")
+    p.add_argument("--dup", type=int, default=0,
+                   help="override config.rasterizer_dup (0 = keep default)")
     args = p.parse_args()
     stages = set(args.stages.split(","))
     def want(name):
@@ -90,6 +92,8 @@ def main():
     opt = get_config(args.preset, batch_size=args.batch)
     if args.no_lpips:
         opt = opt.replace(lambda_lpips=0.0)
+    if args.dup:
+        opt = opt.replace(rasterizer_dup=args.dup)
     print(f"preset={args.preset} B={opt.batch_size} V={opt.num_views} "
           f"Vin={opt.num_input_views} splat={opt.splat_size} "
           f"out={opt.output_size} N={opt.num_gaussians}")

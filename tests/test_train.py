@@ -58,6 +58,34 @@ def test_lpips_params_frozen():
         np.testing.assert_array_equal(b, a)
 
 
+def test_scale_reg_guard(nano_setup):
+    """The fog-collapse guard (config.lambda_scale_reg) adds exactly
+    lambda * mean(relu(scale - 0.1)) to the loss and nothing else, and
+    its metric is surfaced by train_step."""
+    from lgm_tpu.models.lgm import LGMWithLoss
+    from lgm_tpu.train import train_step, TrainState, make_optimizer
+
+    opt, data, state, _ = nano_setup
+    bg = jnp.ones(3)
+    base = LGMWithLoss(opt, rasterizer_backend="xla")
+    guarded = LGMWithLoss(opt.replace(lambda_scale_reg=2.0),
+                          rasterizer_backend="xla")
+    out0 = jax.jit(base.apply)({"params": state.params}, data, bg)
+    out1 = jax.jit(guarded.apply)({"params": state.params}, data, bg)
+    reg = float(jnp.mean(jax.nn.relu(
+        out0["gaussians"][..., 4:7].astype(jnp.float32) - 0.1)))
+    assert reg >= 0.0
+    np.testing.assert_allclose(float(out1["loss_reg"]), reg, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(out1["loss"]), float(out0["loss"]) + 2.0 * reg, rtol=1e-5)
+    # train_step surfaces the metric.
+    gopt = opt.replace(lambda_scale_reg=2.0)
+    gstate = TrainState.create(apply_fn=guarded.apply, params=state.params,
+                               tx=make_optimizer(gopt))
+    _, metrics = jax.jit(train_step)(gstate, data, jax.random.PRNGKey(3))
+    assert "loss_reg" in metrics and np.isfinite(float(metrics["loss_reg"]))
+
+
 def test_data_parallel_step(nano_setup):
     from lgm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from lgm_tpu.train import train_step

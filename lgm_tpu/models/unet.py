@@ -19,6 +19,7 @@ Re-design of the reference's torch U-Net (ref: core/unet.py:11-319) for TPU:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -59,6 +60,24 @@ def _attention(q, k, v):
     logits_bytes = q.shape[0] * q.shape[2] * S * S * 2
     if (jax.default_backend() == "tpu" and S % 1024 == 0
             and (S >= 2048 or logits_bytes > 2e8)):
+        impl = os.environ.get("LGM_TPU_ATTN", "flash")
+        if impl == "kres":
+            # Round-5 K-resident kernel (ops/mha.py): the d=32
+            # specialization (whole-head K/V residency, exact softmax,
+            # one fused backward pass). A/B vs flash-1024/dense:
+            # scripts/bench_attention.py, BENCHMARKS.md round-5
+            # attention section; LGM_TPU_ATTN=flash restores the stock
+            # kernel.
+            from lgm_tpu.ops.mha import mha_kresident
+
+            B, H = q.shape[0], q.shape[2]
+
+            def flat(x):
+                return x.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+
+            o = mha_kresident(flat(q), flat(k), flat(v),
+                              float(D) ** -0.5)
+            return o.reshape(B, H, S, D).transpose(0, 2, 1, 3)
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             flash_attention,

@@ -115,14 +115,20 @@ def train_step(state: TrainState, data: Dict, rng: jax.Array):
         out = state.apply_fn({"params": params}, data, bg)
         return out["loss"], out
 
-    grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
-    state = state.apply_gradients(grads=grads)
-    metrics = {
-        "loss": out["loss"],
-        "loss_mse": out["loss_mse"],
-        "psnr": out["psnr"],
-        "gnorm": optax.global_norm(grads),
-    }
+    # named_scope boundaries land in the XLA op metadata, letting
+    # scripts/profile_trace.py attribute optimizer/metric fusions
+    # separately from the model's own glue (round-5 ledger ask).
+    with jax.named_scope("loss_grad"):
+        grads, out = jax.grad(loss_fn, has_aux=True)(state.params)
+    with jax.named_scope("optimizer"):
+        state = state.apply_gradients(grads=grads)
+    with jax.named_scope("step_metrics"):
+        metrics = {
+            "loss": out["loss"],
+            "loss_mse": out["loss_mse"],
+            "psnr": out["psnr"],
+            "gnorm": optax.global_norm(grads),
+        }
     if "loss_lpips" in out:
         metrics["loss_lpips"] = out["loss_lpips"]
     if "loss_reg" in out:

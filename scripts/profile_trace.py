@@ -59,6 +59,15 @@ def build_step():
 # NAME ONLY (lowercased, trailing .digits stripped) — matching against
 # long_name text is wrong because HLO operand references (%copy.123)
 # would misattribute consumers to their producers' buckets.
+# Scope buckets are matched against the op's long_name (the full
+# jax.named_scope path recorded in op metadata) BEFORE the name buckets:
+# train_step wraps the optimizer update and the metric reductions in
+# named scopes, so their fusions separate from model glue (r5 ask #5).
+SCOPE_BUCKETS = [
+    ("optimizer", ("/optimizer/", "optimizer/")),
+    ("step-metrics", ("/step_metrics/", "step_metrics/")),
+]
+
 BUCKETS = [
     ("attention", ("flash", "attention", "softmax")),
     ("pallas.custom_call", ("closed_call", "checkpoint",
@@ -78,7 +87,11 @@ BUCKETS = [
 
 
 def classify(name, long_name):
-    del long_name
+    ln = long_name.lower()
+    for bucket, pats in SCOPE_BUCKETS:
+        for p in pats:
+            if p in ln:
+                return bucket
     s = name.lower()
     for bucket, pats in BUCKETS:
         for p in pats:
@@ -139,12 +152,13 @@ def parse_trace(trace_dir, out_json=None):
         for key, (e, _end, child) in selfs.items():
             name = e.get("name", "")
             args = e.get("args") or {}
-            long_name = str(args.get("long_name", ""))[:160]
+            full_long = str(args.get("long_name", ""))
+            long_name = full_long[:160]
             self_dur = max(float(e.get("dur", 0.0)) - child, 0.0)
             if self_dur <= 0:
                 continue
             by_op[(name, long_name)] += self_dur
-            b = classify(name, long_name)
+            b = classify(name, full_long)
             by_bucket[b] += self_dur
             n_ev[b] += 1
     return by_op, by_bucket, n_ev, (t1 - t0 if t1 > t0 else 0.0)

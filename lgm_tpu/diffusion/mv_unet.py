@@ -20,6 +20,7 @@ drop in (tools/convert_diffusion.py).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -84,6 +85,19 @@ def _attention(q, k, v, heads: int):
     logits_bytes = B * heads * Nq * Nk * 2
     if (jax.default_backend() == "tpu" and Nq == Nk and Nq % 512 == 0
             and (Nq >= 2048 or logits_bytes > 2e8)):
+        if os.environ.get("LGM_TPU_ATTN", "flash") == "kres" and hd <= 64:
+            # Same K-resident kernel as models/unet.py's gate (see the
+            # A/B there); the joint (f l) sequence (<= 5*32² tokens) and
+            # small head dims are exactly its regime.
+            from lgm_tpu.ops.mha import mha_kresident
+
+            o = mha_kresident(
+                q.transpose(0, 2, 1, 3).reshape(B * heads, Nq, hd),
+                k.transpose(0, 2, 1, 3).reshape(B * heads, Nk, hd),
+                v.transpose(0, 2, 1, 3).reshape(B * heads, Nk, hd),
+                float(hd) ** -0.5,
+            ).reshape(B, heads, Nq, hd).transpose(0, 2, 1, 3)
+            return o.reshape(B, Nq, C)
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
             flash_attention,

@@ -60,14 +60,15 @@ def _attention(q, k, v):
     logits_bytes = q.shape[0] * q.shape[2] * S * S * 2
     if (jax.default_backend() == "tpu" and S % 1024 == 0
             and (S >= 2048 or logits_bytes > 2e8)):
-        impl = os.environ.get("LGM_TPU_ATTN", "flash")
+        impl = os.environ.get("LGM_TPU_ATTN", "kres")
         if impl == "kres":
             # Round-5 K-resident kernel (ops/mha.py): the d=32
             # specialization (whole-head K/V residency, exact softmax,
-            # one fused backward pass). A/B vs flash-1024/dense:
-            # scripts/bench_attention.py, BENCHMARKS.md round-5
-            # attention section; LGM_TPU_ATTN=flash restores the stock
-            # kernel.
+            # one fused backward pass). Measured A/B on chip at
+            # B2/S4096/h16/d32 (scripts/bench_attention.py): fwd+bwd
+            # 7.96 ms vs stock flash-1024's 11.02 (-28%; backward
+            # 6.15 vs 9.19, -33%) and dense's 22.5.
+            # LGM_TPU_ATTN=flash restores the stock kernel.
             from lgm_tpu.ops.mha import mha_kresident
 
             B, H = q.shape[0], q.shape[2]

@@ -157,7 +157,13 @@ def _mha_fwd(q, k, v, sm_scale):
 def _mha_bwd(sm_scale, res, g):
     q, k, v, o, lse = res
     BH, S, D = q.shape
-    bq = _pick_bq(S)
+    # The backward holds ~3 full-width [bq, S] f32 transients (p, dp,
+    # ds) plus the resident K/V and the dK/dV scratch: bq=256 at S=4096
+    # compiled standalone but hit the 16 MB scoped-VMEM limit by 128 KB
+    # inside the train step (in-step operand layouts pad differently),
+    # so the backward halves the block; re-measured A/B at this setting
+    # in BENCHMARKS.md.
+    bq = min(_pick_bq(S), 128)
     nq = S // bq
     interpret = jax.default_backend() != "tpu"
     dq, dk, dv = pl.pallas_call(

@@ -221,6 +221,29 @@ def main():
         results["full loss fwd+bwd"] = chained(jax, jnp, full_fwdbwd,
                                                params, it, overhead)
 
+    # --- 5b. optimizer update alone (AdamW + clip + frozen mask) ---------
+    if want("opt"):
+        from lgm_tpu.train import TrainState as TS
+
+        state0 = TS.create(apply_fn=model.apply, params=params,
+                           tx=make_optimizer(opt))
+
+        def opt_only(arg):
+            st, grads = arg
+            st2 = st.apply_gradients(grads=grads)
+            # Depend on EVERY updated leaf (params + opt state): a
+            # partial readout would let XLA DCE the rest of the update.
+            return sum(
+                jnp.sum(l).astype(jnp.float32)
+                for l in jax.tree.leaves((st2.params, st2.opt_state))
+                if hasattr(l, "dtype") and jnp.issubdtype(
+                    l.dtype, jnp.floating)
+            )
+
+        grads0 = jax.tree.map(lambda x: jnp.full_like(x, 1e-6), params)
+        results["optimizer only"] = chained(
+            jax, jnp, opt_only, (state0, grads0), it, overhead)
+
     # --- 6. full train step (loss + optimizer) ----------------------------
     if want("step"):
         state = TrainState.create(apply_fn=model.apply, params=params,

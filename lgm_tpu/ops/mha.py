@@ -14,10 +14,12 @@ each), so this kernel instead:
 
 - forward: one grid step per (batch·head, q-block): full-width logits
   [bq, S] in one bf16 matmul against the RESIDENT K, exact (not online)
-  softmax, one PV matmul; saves per-row logsumexp for the backward.
-- backward: ONE fused pass per q-block that recomputes P from the saved
-  logsumexp (one matmul instead of flash's two recomputes), then forms
-  dq directly and accumulates dK/dV in VMEM scratch across q-blocks,
+  softmax, one PV matmul. No softmax statistics are stored: a per-row
+  f32 residual is 1-wide in its minor dim and lane-pads 128x (measured
+  256 MB per level at small-bs8 — an OOM).
+- backward: ONE fused pass per q-block that recomputes P (one matmul +
+  two row-reductions, bit-identical to the forward's), then forms dq
+  directly and accumulates dK/dV in VMEM scratch across q-blocks,
   flushing on the last block. 5 matmuls total vs the stock kernel's ~9,
   and no online-rescaling VPU traffic.
 
@@ -39,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     q = q_ref[0]                                   # [bq, D] bf16
     k = k_ref[0]                                   # [S, D] bf16
     v = v_ref[0]
@@ -56,10 +58,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale):
         preferred_element_type=jnp.float32,
     ) / s                                          # [bq, D]
     o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(s))                  # [bq, 1]
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale,
                 nq):
     j = pl.program_id(1)
@@ -74,13 +75,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     v = v_ref[0]
     o = o_ref[0].astype(jnp.float32)               # [bq, D]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]                               # [bq, 1]
 
+    # No stored softmax statistics: the first revision saved per-row
+    # logsumexp as [BH, S, 1] f32, whose 1-wide minor dim lane-padded
+    # the residual 128x (256 MB per level at small-bs8 — an OOM), and
+    # every 2-D layout fights the (8, 128) block-shape rules. The
+    # backward recomputes the logits anyway, so max/sum are two extra
+    # row-reductions — identical bits to the forward (same matmul,
+    # deterministic) at zero storage.
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * sm_scale
-    p = jnp.exp(logits - lse)                      # [bq, S]
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)      # [bq, S]
     dob = do.astype(jnp.bfloat16)
     dp = jax.lax.dot_general(
         dob, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -133,7 +142,7 @@ def _mha_fwd(q, k, v, sm_scale):
     bq = _pick_bq(S)
     nq = S // bq
     interpret = jax.default_backend() != "tpu"
-    o, lse = pl.pallas_call(
+    o = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale),
         grid=(BH, nq),
         in_specs=[
@@ -141,21 +150,15 @@ def _mha_fwd(q, k, v, sm_scale):
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, S, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, S, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, o)
 
 
 def _mha_bwd(sm_scale, res, g):
-    q, k, v, o, lse = res
+    q, k, v, o = res
     BH, S, D = q.shape
     # The backward holds ~3 full-width [bq, S] f32 transients (p, dp,
     # ds) plus the resident K/V and the dK/dV scratch: bq=256 at S=4096
@@ -174,7 +177,6 @@ def _mha_bwd(sm_scale, res, g):
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
         ],
         out_specs=[
@@ -192,7 +194,7 @@ def _mha_bwd(sm_scale, res, g):
             pltpu.VMEM((S, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, o, lse, g)
+    )(q, k, v, o, g)
     return dq, dk, dv
 
 

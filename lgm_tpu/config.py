@@ -69,6 +69,11 @@ class Options:
     # OneCycle warmup steps (ref: main.py:75-79 pct_start=3000/total).
     warmup_steps: int = 3000
     total_steps: int = 30_000    # schedule horizon (epochs x steps/epoch)
+    # Eval + checkpoint cadence in steps (the reference evals/saves per
+    # epoch, main.py:138-180, and per-1000-iters in the LVIS finetuner,
+    # main1_lvis.py:239-283 — this generalizes both). Python-side only:
+    # changing it never recompiles the step or eval graphs.
+    eval_every: int = 1000
 
     # Rematerialize U-Net blocks on backward (keeps activation memory
     # within a 16 GB chip at reference batch sizes; see models/unet.py).

@@ -38,8 +38,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -1e30
-
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     q = q_ref[0]                                   # [bq, D] bf16

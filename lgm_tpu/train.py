@@ -416,7 +416,7 @@ def main(argv=None):
                     np.asarray(batch["images_output"]),
                     np.asarray(ev["images_pred"]),
                 )
-            if step % 1000 == 0 or step == max_steps:
+            if step % opt.eval_every == 0 or step == max_steps:
                 emeans = run_eval()
                 if is_lead:
                     logger.log(step, emeans, prefix="eval")

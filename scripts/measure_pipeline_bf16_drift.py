@@ -12,7 +12,13 @@ starting noise, both dtypes, 30 steps + CFG + VAE decode.
 Weight values are random-init (published checkpoints are env-blocked),
 so the number is an architecture-level drift bound, not a sample
 fidelity claim; drift is dominated by per-op rounding, which does not
-depend on weights being trained.
+depend on weights being trained. IMPORTANT: the plain random init is
+NOT enough — the MVDream U-Net's output convs are zero-initialized
+(standard diffusion init; ref: mv_unet.py zero_module calls), so at
+init the whole eps-prediction is EXACTLY zero and the DDIM trajectory
+is dtype-independent (measured: bit-identical latents). Every
+parameter therefore gets seeded noise added before the comparison so
+all compute paths are live at realistic weight scale.
 
 Usage: python scripts/measure_pipeline_bf16_drift.py [--steps 30]
 """
@@ -58,9 +64,27 @@ def main():
 
     t0 = time.time()
     pipe_bf = with_tok(MVDreamPipeline.from_config("imagedream", seed=0))
+    # Activate the zero-initialized output convs (see module docstring):
+    # without this the unet's eps is exactly 0 and the drift is vacuous.
+    noise_rng = np.random.default_rng(7)
+
+    def perturb(x):
+        if hasattr(x, "shape") and x.ndim >= 1:
+            return np.asarray(x) + 0.02 * noise_rng.standard_normal(
+                x.shape).astype(np.float32)
+        return x
+
+    import jax as _jax
+
+    params = dict(pipe_bf.params)
+    params["unet"] = _jax.tree.map(perturb, _jax.tree.map(
+        np.asarray, params["unet"]))
+    pipe_bf = with_tok(MVDreamPipeline(CONFIGS["imagedream"],
+                                       params=params,
+                                       tokenizer=pipe_bf.tokenizer))
     cfg_f32 = dataclasses.replace(CONFIGS["imagedream"],
                                   compute_dtype="float32")
-    pipe_f32 = with_tok(MVDreamPipeline(cfg_f32, params=pipe_bf.params))
+    pipe_f32 = with_tok(MVDreamPipeline(cfg_f32, params=params))
     print(f"init: {time.time() - t0:.1f}s  backend={jax.default_backend()}")
 
     rng = np.random.default_rng(0)

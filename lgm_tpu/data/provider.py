@@ -410,33 +410,44 @@ class Loader:
             np.random.default_rng((self.seed, epoch)).shuffle(idx)
         return idx
 
+    def _pool(self):
+        # Persistent worker pool: an executor per epoch() call (the old
+        # shape) tears down and re-spawns every thread at each epoch
+        # boundary — with short epochs (the 68-scene disk run has 16
+        # batches/epoch) that is constant churn plus a cold prefetch
+        # window every ~16 steps.
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_executor", None) is None:
+            self._executor = ThreadPoolExecutor(max_workers=self.workers)
+        return self._executor
+
     def epoch(self, epoch: int = 0):
         """Yield stacked batch dicts for one epoch, in order."""
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
 
         idx = self._epoch_indices(epoch)
         n_batches = len(self)
 
-        with ThreadPoolExecutor(max_workers=self.workers) as pool:
-            window: deque = deque()  # [(sample futures for one batch)]
+        pool = self._pool()
+        window: deque = deque()  # [(sample futures for one batch)]
 
-            def submit(b):
-                sel = idx[b * self.bs:(b + 1) * self.bs]
-                window.append(
-                    [pool.submit(self.ds.__getitem__, int(i)) for i in sel]
-                )
+        def submit(b):
+            sel = idx[b * self.bs:(b + 1) * self.bs]
+            window.append(
+                [pool.submit(self.ds.__getitem__, int(i)) for i in sel]
+            )
 
-            for b in range(min(self.prefetch, n_batches)):
-                submit(b)
-            next_b = len(window)
-            while window:
-                futs = window.popleft()
-                if next_b < n_batches:
-                    submit(next_b)
-                    next_b += 1
-                samples = [f.result() for f in futs]
-                yield {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]
-                }
+        for b in range(min(self.prefetch, n_batches)):
+            submit(b)
+        next_b = len(window)
+        while window:
+            futs = window.popleft()
+            if next_b < n_batches:
+                submit(next_b)
+                next_b += 1
+            samples = [f.result() for f in futs]
+            yield {
+                k: np.stack([s[k] for s in samples])
+                for k in samples[0]
+            }

@@ -185,6 +185,29 @@ def test_view_sharded_zero1_step(nano_setup):
     assert big and any(not l.sharding.is_fully_replicated for l in big)
 
 
+def test_eval_every_cadence(tmp_path):
+    """config.eval_every drives the eval/checkpoint cadence (plus the
+    final step), through the real CLI."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    ws = str(tmp_path / "ws")
+    proc = subprocess.run(
+        [sys.executable, "-u", "-m", "lgm_tpu.train", "nano",
+         "--workspace", ws, "--total-steps", "12", "--eval-every", "5",
+         "--lambda-lpips", "0.0"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    evals = [int(l.split()[2].rstrip(":")) for l in proc.stdout.splitlines()
+             if l.startswith("eval @ ")]
+    assert evals == [5, 10, 12], proc.stdout
+
+
 def test_preemption_save_and_auto_resume(tmp_path):
     """SIGTERM mid-training saves a full-state checkpoint and exits
     cleanly; `--resume auto` finds it (preemptible-pod safety — the

@@ -20,7 +20,7 @@ def _dense(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32))
 
 
-@pytest.mark.parametrize("S,D", [(512, 32), (1024, 64)])
+@pytest.mark.parametrize("S,D", [(512, 32), (1024, 64), (4096, 32)])
 def test_mha_kresident_matches_dense(S, D):
     from lgm_tpu.ops.mha import mha_kresident
 

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.sharding import Mesh
 
 from lgm_tpu.parallel.mesh import constrain_views
@@ -136,6 +137,14 @@ class MVAttention(nn.Module):
         v = v.reshape(B, V * H * W, self.num_heads, hd)
         o = _attention(q, k, v)
         o = o.reshape(B, V * H * W, C)
+        # Save the attention output across the block-remat boundary (the
+        # UNet remat policy whitelists this name): without it the remat
+        # replay re-runs the attention forward kernel only to regenerate
+        # the proj Dense's input residual — ~2 ms per level per step in
+        # the r5 trace. The kernel's own residuals are its inputs
+        # (ops/mha.py), so with this save the replayed kernel is dead
+        # code. Cost: [B, V·H·W, C] bf16 per level (~8 MB at big-bs2).
+        o = checkpoint_name(o, "mv_attn_out")
         o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
 
         o = o.reshape(BV, H, W, C)
@@ -293,9 +302,15 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.remat:
-            Down = nn.remat(DownBlock, prevent_cse=False)
-            Mid = nn.remat(MidBlock, prevent_cse=False)
-            Up = nn.remat(UpBlock, prevent_cse=False)
+            # save_only_these_names: everything inside a block reruns on
+            # backward EXCEPT the tagged attention outputs (see
+            # MVAttention) — keeping them turns each replayed attention
+            # forward kernel into dead code at ~8 MB per level.
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "mv_attn_out")
+            Down = nn.remat(DownBlock, prevent_cse=False, policy=policy)
+            Mid = nn.remat(MidBlock, prevent_cse=False, policy=policy)
+            Up = nn.remat(UpBlock, prevent_cse=False, policy=policy)
         else:
             Down, Mid, Up = DownBlock, MidBlock, UpBlock
         x = constrain_views(x.astype(self.dtype), self.mesh)

@@ -138,12 +138,13 @@ class MVAttention(nn.Module):
         o = _attention(q, k, v)
         o = o.reshape(B, V * H * W, C)
         # Save the attention output across the block-remat boundary (the
-        # UNet remat policy whitelists this name): without it the remat
-        # replay re-runs the attention forward kernel only to regenerate
-        # the proj Dense's input residual — ~2 ms per level per step in
-        # the r5 trace. The kernel's own residuals are its inputs
-        # (ops/mha.py), so with this save the replayed kernel is dead
-        # code. Cost: [B, V·H·W, C] bf16 per level (~8 MB at big-bs2).
+        # UNet remat policy whitelists this name): paired with the
+        # kernel's inputs-only residuals (ops/mha.py), the backward
+        # never needs a lane-padded [BH, S, d] copy of o — the proj
+        # Dense's input residual is this unpadded [B, V·H·W, C] save
+        # (~8 MB per level at big-bs2). Step time is unchanged within
+        # tunnel noise (376 vs 371-375 ms measured A/B); the win is
+        # residual memory, not time.
         o = checkpoint_name(o, "mv_attn_out")
         o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
 
@@ -304,8 +305,7 @@ class UNet(nn.Module):
         if self.remat:
             # save_only_these_names: everything inside a block reruns on
             # backward EXCEPT the tagged attention outputs (see
-            # MVAttention) — keeping them turns each replayed attention
-            # forward kernel into dead code at ~8 MB per level.
+            # MVAttention's comment for what that buys).
             policy = jax.checkpoint_policies.save_only_these_names(
                 "mv_attn_out")
             Down = nn.remat(DownBlock, prevent_cse=False, policy=policy)

@@ -77,11 +77,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref,
     # forward output are stored:
     # - per-row logsumexp as [BH, S, 1] f32 lane-pads 128x (256 MB per
     #   level at small-bs8, an OOM — the first revision's bug);
-    # - keeping o as a residual forces the U-Net's remat replay to
-    #   re-run the forward kernel just to regenerate it (~2 ms per
-    #   level per step in the r5 trace). With inputs-only residuals
-    #   (plus the checkpoint_name tag on the output in MVAttention) the
-    #   replayed forward kernel is dead code and XLA drops it.
+    # - keeping o as a residual stores a 4x lane-padded [BH, S, d]
+    #   copy per application; with inputs-only residuals (plus the
+    #   checkpoint_name tag on the output in MVAttention) the backward
+    #   needs no stored o at all.
     # The backward recomputes logits/max/sum (bit-identical to the
     # forward's — same matmul, deterministic) and o's contribution via
     # one extra PV matmul on the p it already rebuilds.

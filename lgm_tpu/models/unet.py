@@ -26,7 +26,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.ad_checkpoint import checkpoint_name
 from jax.sharding import Mesh
 
 from lgm_tpu.parallel.mesh import constrain_views
@@ -137,15 +136,6 @@ class MVAttention(nn.Module):
         v = v.reshape(B, V * H * W, self.num_heads, hd)
         o = _attention(q, k, v)
         o = o.reshape(B, V * H * W, C)
-        # Save the attention output across the block-remat boundary (the
-        # UNet remat policy whitelists this name): paired with the
-        # kernel's inputs-only residuals (ops/mha.py), the backward
-        # never needs a lane-padded [BH, S, d] copy of o — the proj
-        # Dense's input residual is this unpadded [B, V·H·W, C] save
-        # (~8 MB per level at big-bs2). Step time is unchanged within
-        # tunnel noise (376 vs 371-375 ms measured A/B); the win is
-        # residual memory, not time.
-        o = checkpoint_name(o, "mv_attn_out")
         o = nn.Dense(C, use_bias=True, dtype=self.dtype, name="proj")(o)
 
         o = o.reshape(BV, H, W, C)
@@ -303,14 +293,9 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.remat:
-            # save_only_these_names: everything inside a block reruns on
-            # backward EXCEPT the tagged attention outputs (see
-            # MVAttention's comment for what that buys).
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "mv_attn_out")
-            Down = nn.remat(DownBlock, prevent_cse=False, policy=policy)
-            Mid = nn.remat(MidBlock, prevent_cse=False, policy=policy)
-            Up = nn.remat(UpBlock, prevent_cse=False, policy=policy)
+            Down = nn.remat(DownBlock, prevent_cse=False)
+            Mid = nn.remat(MidBlock, prevent_cse=False)
+            Up = nn.remat(UpBlock, prevent_cse=False)
         else:
             Down, Mid, Up = DownBlock, MidBlock, UpBlock
         x = constrain_views(x.astype(self.dtype), self.mesh)

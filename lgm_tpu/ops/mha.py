@@ -58,7 +58,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale,
                 nq):
     j = pl.program_id(1)
@@ -71,19 +71,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref,
     q = q_ref[0]                                   # [bq, D] bf16
     k = k_ref[0]                                   # [S, D]
     v = v_ref[0]
+    o = o_ref[0].astype(jnp.float32)               # [bq, D]
     do = do_ref[0].astype(jnp.float32)
 
-    # Residuals are (q, k, v) ONLY — neither softmax statistics nor the
-    # forward output are stored:
-    # - per-row logsumexp as [BH, S, 1] f32 lane-pads 128x (256 MB per
-    #   level at small-bs8, an OOM — the first revision's bug);
-    # - keeping o as a residual stores a 4x lane-padded [BH, S, d]
-    #   copy per application; with inputs-only residuals (plus the
-    #   checkpoint_name tag on the output in MVAttention) the backward
-    #   needs no stored o at all.
-    # The backward recomputes logits/max/sum (bit-identical to the
-    # forward's — same matmul, deterministic) and o's contribution via
-    # one extra PV matmul on the p it already rebuilds.
+    # No stored softmax statistics: the first revision saved per-row
+    # logsumexp as [BH, S, 1] f32, whose 1-wide minor dim lane-padded
+    # the residual 128x (256 MB per level at small-bs8 — an OOM), and
+    # every 2-D layout fights the (8, 128) block-shape rules. The
+    # backward recomputes the logits anyway, so max/sum are two extra
+    # row-reductions — identical bits to the forward (same matmul,
+    # deterministic) at zero storage.
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -96,11 +93,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref,
         dob, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # [bq, S]
-    o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # [bq, D] recomputed
     drow = jnp.sum(do * o, axis=1, keepdims=True)  # [bq, 1]
     ds = (p * (dp - drow)).astype(jnp.bfloat16)    # [bq, S]
     dq = jax.lax.dot_general(
@@ -160,11 +152,11 @@ def _mha_fwd(q, k, v, sm_scale):
         out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    return o, (q, k, v)
+    return o, (q, k, v, o)
 
 
 def _mha_bwd(sm_scale, res, g):
-    q, k, v = res
+    q, k, v, o = res
     BH, S, D = q.shape
     # The backward holds ~3 full-width [bq, S] f32 transients (p, dp,
     # ds) plus the resident K/V and the dK/dV scratch: bq=256 at S=4096
@@ -183,6 +175,7 @@ def _mha_bwd(sm_scale, res, g):
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0)),
@@ -199,7 +192,7 @@ def _mha_bwd(sm_scale, res, g):
             pltpu.VMEM((S, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, g)
+    )(q, k, v, o, g)
     return dq, dk, dv
 
 

@@ -119,6 +119,104 @@ def _use_native_loader() -> bool:
     return native.dataload_available()
 
 
+class _DecodeCache:
+    """Opt-in LRU over native-decoded views, keyed by
+    (path, out_size, in_size).
+
+    The reference caches nothing — its DataLoader re-decodes every
+    epoch across 8 worker processes on a many-core GPU host
+    (ref: main.py:52-70). On a small-core host driving a remote chip
+    the decode IS the training bottleneck (BENCHMARKS.md round 5:
+    ~2-3 s/step host-bound, chip ~75% idle), and after the first epoch
+    the decode work is pure repetition of identical pixels. Caching the
+    decoded (white-bg composite + both resizes) output leaves every
+    per-SAMPLE random choice — view selection, grid distortion, camera
+    jitter — downstream and untouched, so training semantics match the
+    uncached path bit-for-bit (pinned by test_decode_cache_parity).
+
+    Enable with ``LGM_TPU_DECODE_CACHE_MB=<budget>`` (0/unset = off).
+    Thread-safe (the Loader's worker threads share it); LRU-evicts at
+    the byte budget.
+    """
+
+    def __init__(self, budget_mb: int):
+        import collections
+
+        self.budget = budget_mb * (1 << 20)
+        self.used = 0
+        self.lock = threading.Lock()
+        self.data: "collections.OrderedDict" = collections.OrderedDict()
+
+    def get(self, key):
+        with self.lock:
+            val = self.data.get(key)
+            if val is not None:
+                self.data.move_to_end(key)
+            return val
+
+    def put(self, key, val):
+        nbytes = sum(a.nbytes for a in val)
+        with self.lock:
+            if key in self.data or nbytes > self.budget:
+                return
+            self.data[key] = val
+            self.used += nbytes
+            while self.used > self.budget:
+                _, old = self.data.popitem(last=False)
+                self.used -= sum(a.nbytes for a in old)
+
+
+_decode_cache: Optional[_DecodeCache] = None
+_decode_cache_mb = -1
+
+
+def _get_decode_cache() -> Optional[_DecodeCache]:
+    global _decode_cache, _decode_cache_mb
+    mb = int(os.environ.get("LGM_TPU_DECODE_CACHE_MB", "0") or "0")
+    if mb != _decode_cache_mb:  # env changed (tests toggle it)
+        _decode_cache_mb = mb
+        _decode_cache = _DecodeCache(mb) if mb > 0 else None
+    return _decode_cache
+
+
+def _load_views_cached(paths: List[str], out_size: int, in_size: int):
+    """native.load_views with the optional decode LRU in front: only
+    cache misses hit the C++ decoder; hits are served from RAM. Returns
+    per-path lists ([rgb_out], [mask_out], [rgb_in], [ok])."""
+    from lgm_tpu import native
+
+    cache = _get_decode_cache()
+    if cache is None:
+        rgb_o, mask_o, rgb_i, _, ok = native.load_views(
+            paths, out_size, in_size, n_threads=min(4, len(paths)))
+        return rgb_o, mask_o, rgb_i, ok
+
+    n = len(paths)
+    rgb_o = [None] * n
+    mask_o = [None] * n
+    rgb_i = [None] * n
+    ok = [False] * n
+    miss = []
+    for j, p in enumerate(paths):
+        hit = cache.get((p, out_size, in_size))
+        if hit is not None:
+            rgb_o[j], mask_o[j], rgb_i[j] = hit
+            ok[j] = True
+        else:
+            miss.append(j)
+    if miss:
+        ro, mo, ri, _, mok = native.load_views(
+            [paths[j] for j in miss], out_size, in_size,
+            n_threads=min(4, len(miss)))
+        for k, j in enumerate(miss):
+            ok[j] = bool(mok[k])
+            if ok[j]:
+                rgb_o[j], mask_o[j], rgb_i[j] = ro[k], mo[k], ri[k]
+                cache.put((paths[j], out_size, in_size),
+                          (ro[k], mo[k], ri[k]))
+    return rgb_o, mask_o, rgb_i, ok
+
+
 def _native_sample(opt: Options, training: bool,
                    rng: np.random.Generator,
                    candidates: Iterator[Tuple[str, np.ndarray]],
@@ -130,8 +228,6 @@ def _native_sample(opt: Options, training: bool,
     + resize to both target sizes in one threaded C++ call per chunk.
     Unreadable images are skipped and the tail padded by repetition
     (ref: provider_objaverse.py:83-91,115-120)."""
-    from lgm_tpu import native
-
     V = opt.num_views
     imgs_in: List[np.ndarray] = []
     imgs_out: List[np.ndarray] = []
@@ -144,9 +240,8 @@ def _native_sample(opt: Options, training: bool,
         chunk = list(itertools.islice(it, V - len(poses) + 2))
         if not chunk:
             break
-        rgb_o, mask_o, rgb_i, _, ok = native.load_views(
+        rgb_o, mask_o, rgb_i, ok = _load_views_cached(
             [p for p, _ in chunk], opt.output_size, opt.input_size,
-            n_threads=min(4, len(chunk)),
         )
         for j, good in enumerate(ok):
             if good and len(poses) < V:

@@ -89,6 +89,27 @@ def focal_from_fovy(fovy_deg: float, size: int) -> float:
     return 0.5 * size / np.tan(0.5 * np.deg2rad(fovy_deg))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _pixel_dirs_cached(h: int, w: int, focal: float, sign: float):
+    ii, jj = np.meshgrid(
+        np.arange(w, dtype=_NP_F32), np.arange(h, dtype=_NP_F32),
+        indexing="xy",
+    )
+    dirs = np.stack(
+        [
+            (ii - w * 0.5 + 0.5) / focal,
+            (jj - h * 0.5 + 0.5) / focal * sign,
+            np.full_like(ii, sign),
+        ],
+        axis=-1,
+    )
+    dirs.setflags(write=False)  # shared across callers
+    return dirs
+
+
 def get_rays(pose, h: int, w: int, fovy_deg: float, opengl: bool = True):
     """Per-pixel ray origins and unit directions in world space.
 
@@ -99,18 +120,25 @@ def get_rays(pose, h: int, w: int, fovy_deg: float, opengl: bool = True):
     xp = _xp(pose)
     pose = xp.asarray(pose, dtype=_NP_F32)
     focal = focal_from_fovy(fovy_deg, h)
-    ii, jj = xp.meshgrid(
-        xp.arange(w, dtype=_NP_F32), xp.arange(h, dtype=_NP_F32), indexing="xy"
-    )  # ii: x/col, jj: y/row, each [h, w]
     sign = -1.0 if opengl else 1.0
-    dirs = xp.stack(
-        [
-            (ii - w * 0.5 + 0.5) / focal,
-            (jj - h * 0.5 + 0.5) / focal * sign,
-            xp.full_like(ii, sign),
-        ],
-        axis=-1,
-    )  # [h, w, 3] camera-space
+    if xp is np:
+        # The camera-space direction grid is pose-independent; the
+        # loader calls this per view per sample, so memoize it (the
+        # meshgrid+stack build dominates get_rays on the host).
+        dirs = _pixel_dirs_cached(h, w, float(focal), sign)
+    else:
+        ii, jj = xp.meshgrid(
+            xp.arange(w, dtype=_NP_F32), xp.arange(h, dtype=_NP_F32),
+            indexing="xy",
+        )  # ii: x/col, jj: y/row, each [h, w]
+        dirs = xp.stack(
+            [
+                (ii - w * 0.5 + 0.5) / focal,
+                (jj - h * 0.5 + 0.5) / focal * sign,
+                xp.full_like(ii, sign),
+            ],
+            axis=-1,
+        )  # [h, w, 3] camera-space
     rays_d = dirs @ pose[:3, :3].T  # [h, w, 3]
     rays_d = rays_d / xp.maximum(
         xp.linalg.norm(rays_d, axis=-1, keepdims=True), 1e-8

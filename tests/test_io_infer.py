@@ -78,6 +78,22 @@ def test_orbit_camera_jitter_preserves_radius():
     assert not np.allclose(jit, poses)
 
 
+def test_grid_distortion_separable_parity():
+    """The separable fast path equals the generic 2-D tap sampler on a
+    meshgrid grid (same math, reassociated) — including out-of-range
+    zero padding."""
+    from lgm_tpu.utils.augment import _bilinear_sample, _bilinear_sample_sep
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (37, 29, 3)).astype(np.float32)
+    xs = rng.uniform(-1.15, 1.15, 29).astype(np.float32)
+    ys = rng.uniform(-1.15, 1.15, 37).astype(np.float32)
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    ref = _bilinear_sample(img, gx, gy)
+    fast = _bilinear_sample_sep(img, xs, ys)
+    np.testing.assert_allclose(fast, ref, atol=2e-6)
+
+
 def test_grid_distortion_shape_and_range():
     rng = np.random.default_rng(1)
     imgs = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)

@@ -185,3 +185,57 @@ def test_diffusion_lvis_data_native_parity(tmp_path):
     np.testing.assert_allclose(b_native["images"], b_py["images"],
                                atol=1e-5)
     np.testing.assert_array_equal(b_native["camera"], b_py["camera"])
+
+
+def test_decode_cache_parity(tmp_path):
+    """LGM_TPU_DECODE_CACHE_MB serves decoded views from RAM without
+    changing a single bit of the sample: warm-cache samples (epoch 2+)
+    equal cold samples under the same rng, and the cache actually
+    hits (the C++ decoder is not re-entered)."""
+    import cv2
+
+    from lgm_tpu.data import provider
+    from lgm_tpu.data.provider import LVISDataset
+    from lgm_tpu.utils import camera  # noqa: F401  (fixture parity)
+
+    scene = tmp_path / "00000-09999" / "obj"
+    os.makedirs(scene)
+    rng = np.random.default_rng(7)
+    for v in range(8):
+        rgba = rng.uniform(0, 1, (48, 48, 4)).astype(np.float32)
+        rgba[..., 3] = (rgba[..., 3] > 0.4).astype(np.float32)
+        cv2.imwrite(str(scene / f"{v:03d}.png"),
+                    (rgba[..., [2, 1, 0, 3]] * 255).astype(np.uint8))
+        np.save(scene / f"{v:03d}.npy",
+                {"elevation": 5.0 * v, "azimuth": 45.0 * v, "radius": 1.5})
+
+    opt = get_config("nano").replace(
+        num_input_views=2, num_views=4, batch_size=0, data_path=str(tmp_path),
+        prob_cam_jitter=0.0, prob_grid_distortion=0.0,
+    )
+    ds = LVISDataset(opt, training=False, scene_dirs=[str(scene)])
+    ds.items = [str(scene)]
+
+    os.environ.pop("LGM_TPU_DECODE_CACHE_MB", None)
+    cold = ds[0]
+
+    os.environ["LGM_TPU_DECODE_CACHE_MB"] = "64"
+    try:
+        warm0 = ds[0]          # fills the cache
+        cache = provider._get_decode_cache()
+        assert cache is not None and len(cache.data) == 4
+        # poison the decoder: a second epoch must not call it
+        real = native.load_views
+        native.load_views = None
+        try:
+            warm1 = ds[0]
+        finally:
+            native.load_views = real
+    finally:
+        del os.environ["LGM_TPU_DECODE_CACHE_MB"]
+
+    for k in cold:
+        np.testing.assert_array_equal(cold[k], warm0[k],
+                                      err_msg=f"cold-vs-fill {k}")
+        np.testing.assert_array_equal(cold[k], warm1[k],
+                                      err_msg=f"cold-vs-hit {k}")
